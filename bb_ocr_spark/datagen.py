@@ -1,0 +1,182 @@
+"""Deterministic synthetic generator for the canonical interleaved table.
+
+    documents_interleaved(doc_id string,
+                          spans array<struct<kind,text,media_ref,offset>>)
+
+Per FIXTURES.md §1: spans are written in PERMUTED order (the engine must
+restore offset order); text spans embed ISBN/year/publisher/price patterns
+(deterministic targets for the heuristic extractor, reference analog
+hueristics/book_extractor.py:11-29); boilerplate spans carry nav/footer
+template text; a ~0.1% skew tail of mega-docs exercises salted assembly;
+edge docs: zero-text, only-boilerplate, duplicate-text, unicode.
+
+The per-doc kernel `gen_doc(i)` is plain Python seeded on (SEED, i) only,
+so the SAME rows are produced by the single-node oracle path and by the
+distributed Spark path (`generate_df` = spark.range → mapInPandas), at any
+parallelism — generation is embarrassingly parallel and driver-free, which
+is what makes it viable at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import random
+
+from .config import SEED
+
+VOCAB = (
+    "the quick brown fox jumps over lazy dog book cover page title author "
+    "chapter printed bound paper edition library archive volume series index "
+    "preface novel story science history computer software data war ancient"
+).split()
+
+NAV_WORDS = ["Home", "About", "Contact", "Login", "Search", "Sitemap", "Privacy"]
+
+PUBLISHERS = ["Acme Press", "Nimbus Books", "Orchard Publishing", "Harbor House"]
+
+UNICODE_SENTENCES = [
+    "Ecriture à la française déjà vu café",
+    "Grüße aus München über alles",
+    "naïve façade coöperate résumé",
+]
+
+KIND_TEXT, KIND_MEDIA, KIND_BOILER = "text", "media", "boilerplate"
+
+
+def _sentence(rng: random.Random) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(rng.randint(3, 12)))
+
+
+def _pattern_sentence(rng: random.Random) -> str:
+    """Sentence carrying a deterministic metadata pattern."""
+    which = rng.randrange(4)
+    if which == 0:
+        return (
+            f"ISBN 978-{rng.randrange(10)}-{rng.randrange(100, 999)}"
+            f"-{rng.randrange(10000, 99999)}-{rng.randrange(10)}"
+        )
+    if which == 1:
+        return f"Copyright (c) {rng.randrange(1850, 2025)} all rights reserved"
+    if which == 2:
+        return f"published by {rng.choice(PUBLISHERS)}"
+    return f"price ${rng.randrange(5, 200)}.{rng.randrange(0, 100):02d}"
+
+
+def _nav_text(rng: random.Random) -> str:
+    """Link-dense text a main-content classifier must strip (kind='text'
+    but classified boilerplate by link density)."""
+    n = rng.randint(3, 6)
+    parts = []
+    for _ in range(n):
+        parts.append(rng.choice(NAV_WORDS))
+        parts.append("|")
+        parts.append(f"https://example.com/{rng.randrange(100)}")
+    return " ".join(parts)
+
+
+def _boiler_text(rng: random.Random) -> str:
+    return (
+        rng.choice(
+            [
+                "footer copyright navigation menu sitemap terms conditions",
+                "subscribe newsletter follow us social media links",
+                "cookie consent banner accept decline preferences",
+            ]
+        )
+        + f" {rng.randrange(1000)}"
+    )
+
+
+def doc_id_of(i: int) -> str:
+    return f"doc_{i:09d}"
+
+
+def n_spans_of(i: int, rng: random.Random) -> int:
+    if i % 1000 == 7:  # mega-doc skew tail (~0.1%)
+        return rng.randint(2000, 8000)
+    return rng.randint(1, 40)
+
+
+def gen_doc(i: int) -> tuple[str, list[dict]]:
+    """Deterministic doc: (doc_id, spans in PERMUTED order)."""
+    rng = random.Random(f"bbocr:{SEED}:{i}")
+    did = doc_id_of(i)
+    n = n_spans_of(i, rng)
+    only_media = i % 97 == 3
+    only_boiler = i % 97 == 5
+    unicode_doc = i % 53 == 11
+
+    spans = []
+    for off in range(n):
+        if only_media:
+            kind = KIND_MEDIA
+        elif only_boiler:
+            kind = KIND_BOILER
+        else:
+            r = rng.random()
+            kind = KIND_TEXT if r < 0.70 else (KIND_MEDIA if r < 0.85 else KIND_BOILER)
+        if kind == KIND_MEDIA:
+            spans.append(
+                {"kind": kind, "text": None, "media_ref": f"media://{did}/{off}", "offset": off}
+            )
+            continue
+        if kind == KIND_BOILER:
+            txt = _boiler_text(rng)
+        else:
+            r = rng.random()
+            if r < 0.10:
+                txt = _pattern_sentence(rng)
+            elif r < 0.20:
+                txt = _nav_text(rng)  # classifier-dropped text
+            elif r < 0.25:
+                txt = "  " if rng.random() < 0.5 else ""  # empty-text filter target
+            elif unicode_doc and r < 0.45:
+                txt = rng.choice(UNICODE_SENTENCES)
+            else:
+                txt = _sentence(rng)
+                if rng.random() < 0.15:
+                    txt = "  " + txt.replace(" ", "   ", 2) + " "  # ws-squeeze target
+        spans.append({"kind": kind, "text": txt, "media_ref": None, "offset": off})
+    rng.shuffle(spans)  # engine must restore offset order
+    return did, spans
+
+
+# --------------------------------------------------------------------------
+# Spark-side distributed generation (the 10^12-row path)
+# --------------------------------------------------------------------------
+
+SPANS_SCHEMA_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def generate_df(spark, n_docs: int, partitions: int | None = None):
+    """documents_interleaved as a DataFrame, generated distributed.
+
+    spark.range is split across the cluster; each task materializes its own
+    docs from the pure per-doc kernel — no driver bottleneck, no shuffle.
+    """
+    import pandas as pd  # noqa: PLC0415 — imported in executor too
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def build(batches):
+        for pdf in batches:
+            ids, spans = [], []
+            for i in pdf["id"]:
+                did, sp = gen_doc(int(i))
+                ids.append(did)
+                spans.append(
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp]
+                )
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    return (
+        spark.range(0, n_docs, numPartitions=partitions)
+        .mapInPandas(build, schema=SPANS_SCHEMA_DDL)
+    )
+
+
+def write_parquet(spark, n_docs: int, path: str, partitions: int | None = None) -> None:
+    generate_df(spark, n_docs, partitions).write.mode("overwrite").parquet(path)
