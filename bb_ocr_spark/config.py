@@ -54,6 +54,17 @@ GENRE_KEYWORDS = {
     "technology": ["computer", "software", "data", "engineering"],
 }
 
+# --- HTML tokenizer / block classifier (north_star main-content rule) ----
+# blocks split on block-level tags; per block: media spans from <img src>,
+# then the tag-stripped text span unless anchor-word link density exceeds
+# LINK_DENSITY_HTML_MAX (boilerpipe-style rule). Flat markup only (the
+# deterministic generator emits no nested anchors), ASCII regexes.
+BLOCK_TAG_RE = r"</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|footer|nav)[^>]*>"
+IMG_SRC_RE = r"<img src=\"([^\"]+)\"[^>]*>"
+ANCHOR_TEXT_RE = r"<a [^>]*>([^<]*)</a>"
+ANY_TAG_RE = r"<[^>]*>"
+LINK_DENSITY_HTML_MAX = 0.34
+
 # --- skew handling --------------------------------------------------------
 # docs with more spans than this use salted two-phase assembly when the
 # input arrives as exploded span rows (operators/assemble.py)

@@ -141,6 +141,68 @@ def gen_doc(i: int) -> tuple[str, list[dict]]:
 
 
 # --------------------------------------------------------------------------
+# HTML corpus (for the tokenizer / block-classifier stage)
+# --------------------------------------------------------------------------
+
+
+def gen_html_doc(i: int) -> tuple[str, str]:
+    """Deterministic flat-markup HTML-ish doc: (doc_id, html).
+
+    Mixes content paragraphs, link-dense nav/footer blocks (classifier must
+    drop), inline <img> media (must interleave at original positions), and
+    anchors inside real paragraphs (must survive — link density below
+    threshold)."""
+    rng = random.Random(f"bbocr-html:{SEED}:{i}")
+    did = doc_id_of(i)
+    parts = [f"<h1>{_sentence(rng)}</h1>"]
+    for b in range(rng.randint(2, 12)):
+        r = rng.random()
+        if r < 0.15:  # nav block: almost all anchor words → dropped
+            links = " | ".join(
+                f'<a href="https://example.com/{rng.randrange(50)}">{rng.choice(NAV_WORDS)}</a>'
+                for _ in range(rng.randint(3, 6))
+            )
+            parts.append(f"<nav>{links}</nav>")
+        elif r < 0.30:  # image (possibly mid-paragraph)
+            ref = f"media://{did}/{b}"
+            if rng.random() < 0.5:
+                parts.append(f'<p>{_sentence(rng)} <img src="{ref}"> {_sentence(rng)}</p>')
+            else:
+                parts.append(f'<img src="{ref}">')
+        elif r < 0.40:  # paragraph with one inline anchor → kept
+            parts.append(
+                f'<p>{_sentence(rng)} <a href="https://example.com/x">'
+                f"{rng.choice(VOCAB)}</a> {_sentence(rng)}</p>"
+            )
+        elif r < 0.50:
+            parts.append(f"<li>{_pattern_sentence(rng)}</li>")
+        else:
+            parts.append(f"<p>{_sentence(rng)}</p>")
+    parts.append('<footer><a href="https://example.com/tos">Terms</a> | '
+                 '<a href="https://example.com/priv">Privacy</a></footer>')
+    return did, "".join(parts)
+
+
+HTML_SCHEMA_DDL = "doc_id string, html string"
+
+
+def generate_html_df(spark, n_docs: int, partitions: int | None = None):
+    import pandas as pd  # noqa: PLC0415
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def build(batches):
+        for pdf in batches:
+            rows = [gen_html_doc(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(
+        build, schema=HTML_SCHEMA_DDL
+    )
+
+
+# --------------------------------------------------------------------------
 # Spark-side distributed generation (the 10^12-row path)
 # --------------------------------------------------------------------------
 
