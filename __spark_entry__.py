@@ -65,6 +65,237 @@ FROM documents
 """
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# relational operator families (SURVEY §2.2-2.7) over driver tables
+# ---------------------------------------------------------------------------
+
+
+def _q_agg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 grouped counters / TPC-H Q1 shape: filter → groupBy → multi-agg
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_ORACLE_AGG_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3/W1/O2: top-3 orders per customer by (totalprice desc, orderkey)
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+"""
+
+
+def _q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1/P8: multi-way left-outer enrichment with projection/rename;
+    # nation/region are broadcast dims
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "o_orderkey",
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+
+
+_ORACLE_JOIN_ENRICH = """
+SELECT o_orderkey, c_name AS customer, n_name AS nation, r_name AS region,
+       o_totalprice AS total
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def _q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 order-preserving dedup: first event per (user_id, event_type) by ts
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+_ORACLE_DEDUP_FIRST = """
+SELECT user_id, event_type, event_id, round(value, 2) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def _q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6 resume semantics: customers with no completed ("F") order yet —
+    # exactly the anti-join-on-completed-ids resume shape
+    c = _t(spark, sf_dir, "customer")
+    done = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(done, c.c_custkey == done.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def _q_coalesce_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5/A2: latest order per customer (argmax by date) merged onto the
+    # customer record; missing fields coalesced with defaults
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderpriority", "o_totalprice")
+    )
+    return c.join(latest, c.c_custkey == latest.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("last_priority"),
+        F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("last_total"),
+    )
+
+
+_ORACLE_COALESCE_MERGE = """
+SELECT c_custkey,
+       coalesce(o_orderpriority, 'NONE') AS last_priority,
+       round(coalesce(o_totalprice, 0.0), 2) AS last_total
+FROM customer
+LEFT JOIN (SELECT o_custkey, o_orderpriority, o_totalprice
+           FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders)
+           WHERE rn = 1) ON c_custkey = o_custkey
+"""
+
+
+def _q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2/W3: per-user running sum + sequence numbers over event time
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+    )
+
+
+_ORACLE_RUNNING_WINDOW = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events
+"""
+
+
+def _q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 dedup-union: provider-style union of two sources + distinct
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select("user_id")
+    b = e.filter(F.col("value") > 150).select("user_id")
+    return a.unionByName(b).distinct()
+
+
+_ORACLE_UNION_DEDUP = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id FROM events WHERE value > 150
+)
+"""
+
+
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4/F1: JSON field extraction + regex fallback (U8 repair analog)
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_json"),
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("k_regex"),
+    )
+
+
+_ORACLE_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_json,
+       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_regex
+FROM events
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -73,10 +304,28 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_reassemble": _q_extract_reassemble,
+        "agg_summary": _q_agg_summary,
+        "topk_per_group": _q_topk_per_group,
+        "join_enrich": _q_join_enrich,
+        "dedup_first": _q_dedup_first,
+        "anti_join_resume": _q_anti_join_resume,
+        "coalesce_merge": _q_coalesce_merge,
+        "running_window": _q_running_window,
+        "union_dedup": _q_union_dedup,
+        "json_extract": _q_json_extract,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_reassemble": _ORACLE_EXTRACT_REASSEMBLE,
+        "agg_summary": _ORACLE_AGG_SUMMARY,
+        "topk_per_group": _ORACLE_TOPK_PER_GROUP,
+        "join_enrich": _ORACLE_JOIN_ENRICH,
+        "dedup_first": _ORACLE_DEDUP_FIRST,
+        "anti_join_resume": _ORACLE_ANTI_JOIN,
+        "coalesce_merge": _ORACLE_COALESCE_MERGE,
+        "running_window": _ORACLE_RUNNING_WINDOW,
+        "union_dedup": _ORACLE_UNION_DEDUP,
+        "json_extract": _ORACLE_JSON_EXTRACT,
     }

@@ -22,10 +22,12 @@ All regexes are ASCII-only so Java (Spark) and Python `re` semantics agree.
 #   kind == 'text' and link_density  > LINK_DENSITY_MAX
 #   kind == 'text' and alpha_density < ALPHA_DENSITY_MIN
 # link_density  = (# tokens matching LINK_TOKEN_RE) / (# tokens)
-# alpha_density = (# [a-zA-Z] chars) / (# non-whitespace chars)
+# alnum_density = (# [a-zA-Z0-9] chars) / (# non-whitespace chars)
+# (alnum, not alpha: ISBN/price/year lines are digit-heavy CONTENT — an
+# alpha-only rule silently drops every metadata-bearing span)
 LINK_TOKEN_RE = r"^(https?://\S*|href=\S*|[|]|[>»]|\[nav\])$"
 LINK_DENSITY_MAX = 0.30
-ALPHA_DENSITY_MIN = 0.50
+ALNUM_DENSITY_MIN = 0.50
 # token split regex (ASCII whitespace run)
 TOKEN_SPLIT_RE = r"[ \t\n\r]+"
 

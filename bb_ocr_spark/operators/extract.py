@@ -37,10 +37,10 @@ def is_boilerplate_text_col(text: Column) -> Column:
     toks = F.split(F.trim(text), config.TOKEN_SPLIT_RE)
     ntok = F.size(toks)
     nlink = F.size(F.filter(toks, lambda t: t.rlike(config.LINK_TOKEN_RE)))
-    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
     nonws = F.length(F.regexp_replace(text, "[ \\t\\n\\r]", ""))
     return (nlink.cast("double") / ntok > F.lit(config.LINK_DENSITY_MAX)) | (
-        alpha.cast("double") / nonws < F.lit(config.ALPHA_DENSITY_MIN)
+        alnum.cast("double") / nonws < F.lit(config.ALNUM_DENSITY_MIN)
     )
 
 

@@ -19,12 +19,12 @@ from . import config
 _LINK_TOKEN = re.compile(config.LINK_TOKEN_RE)
 _TOKEN_SPLIT = re.compile(config.TOKEN_SPLIT_RE)
 _WS_SQUEEZE = re.compile(config.WS_SQUEEZE_RE)
-_ALPHA = re.compile(r"[a-zA-Z]")
+_ALNUM = re.compile(r"[a-zA-Z0-9]")
 _NONWS = re.compile(r"[^ \t\n\r]")
 
 
 def is_boilerplate_text(text: str) -> bool:
-    """Link-density + alpha-density main-content classifier (frozen rule)."""
+    """Link-density + alnum-density main-content classifier (frozen rule)."""
     tokens = [t for t in _TOKEN_SPLIT.split(text.strip()) if t]
     if not tokens:
         return True
@@ -32,8 +32,8 @@ def is_boilerplate_text(text: str) -> bool:
     if link / len(tokens) > config.LINK_DENSITY_MAX:
         return True
     nonws = len(_NONWS.findall(text))
-    alpha = len(_ALPHA.findall(text))
-    return nonws == 0 or alpha / nonws < config.ALPHA_DENSITY_MIN
+    alnum = len(_ALNUM.findall(text))
+    return nonws == 0 or alnum / nonws < config.ALNUM_DENSITY_MIN
 
 
 def normalize_text(text: str) -> str:

@@ -1,0 +1,129 @@
+"""The production extraction job: resume → extract → commit → lineage.
+
+North-rule semantics (BASELINE.json): every run commits per-partition
+lineage and metrics (doc ranges, checksums, span counts, wall time) to a
+metrics table, and resumes from the last snapshot via anti-join on
+completed doc_ids. Reference analogs: batch summary sink
+(batch_processor_enhanced.py:233-270), audit append (google_sheets.py:
+111-203), has_output resume check (i2j_ui/app/main.py:851-858).
+
+Layout (plain parquet standing in for Iceberg — jars not in this image;
+`sources.tables.have_iceberg` gates a real catalog):
+
+    <output_dir>/results/run_id=<run>/   doc_id, spans, checksum, part_id
+    <output_dir>/metrics/run_id=<run>/   per-partition lineage rows
+
+Commit protocol: results are written first (Spark's file-commit makes the
+run directory appear atomically on rename); metrics are then derived from a
+COLUMN-PRUNED re-scan of the committed results (doc_id/checksum/part_id
+only — a tiny fraction of the bytes), so lineage always reflects durable
+data — a crash between the two writes leaves committed results that the
+next run's metrics pass will simply re-derive. Resume reads doc_id across
+all committed run dirs; the anti-join is a plain equi-join Catalyst
+executes as sort-merge (or broadcast when the completed set is small).
+
+At cluster scale, per-task wall time would come from a SparkListener;
+here each metrics row carries the run-level wall clock plus its
+partition's row statistics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_inline, serialize_spans_col
+
+RESULTS = "results"
+METRICS = "metrics"
+
+
+def _results_root(output_dir: str) -> str:
+    return os.path.join(output_dir, RESULTS)
+
+
+def completed_doc_ids(spark: SparkSession, output_dir: str) -> DataFrame | None:
+    """doc_ids already extracted across ALL committed runs (None if none)."""
+    root = _results_root(output_dir)
+    if not os.path.isdir(root):  # first run (local FS; catalog check on Iceberg)
+        return None
+    try:
+        return spark.read.parquet(root).select("doc_id")
+    except Exception:  # dir exists but holds no readable parquet yet
+        return None
+
+
+def run_extract_job(
+    spark: SparkSession,
+    documents_interleaved: DataFrame,
+    output_dir: str,
+    run_id: str | None = None,
+) -> dict:
+    """Extract all not-yet-completed docs; commit results + lineage.
+
+    Returns run stats {run_id, n_docs, wall_ms, resumed_skipped}.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.monotonic()
+
+    done = completed_doc_ids(spark, output_dir)
+    remaining = documents_interleaved
+    skipped = 0
+    if done is not None:
+        # resume: left-anti on completed ids (J6 / north_rule)
+        remaining = documents_interleaved.join(done, "doc_id", "left_anti")
+
+    extracted = (
+        extract_inline(remaining)
+        .withColumn("checksum", F.xxhash64(serialize_spans_col(F.col("spans"))))
+        .withColumn("part_id", F.spark_partition_id())
+    )
+
+    run_results = os.path.join(_results_root(output_dir), f"run_id={run_id}")
+    extracted.write.mode("errorifexists").parquet(run_results)
+
+    # lineage from the COMMITTED files, light columns only (column pruning
+    # keeps this scan tiny relative to the span payload)
+    committed = spark.read.parquet(run_results).select(
+        "doc_id", "checksum", "part_id", F.size("spans").alias("n_spans")
+    )
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    metrics = (
+        committed.groupBy("part_id")
+        .agg(
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            # order-insensitive partition checksum (xor: no ANSI overflow)
+            F.expr("bit_xor(checksum)").alias("checksum"),
+        )
+        .withColumn("wall_time_ms", F.lit(wall_ms))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+    # run_id comes from the partition directory on read-back (a literal
+    # column here would collide with the inferred partition column)
+    run_metrics = os.path.join(output_dir, METRICS, f"run_id={run_id}")
+    metrics.write.mode("errorifexists").parquet(run_metrics)
+
+    n_docs = committed.count()
+    if done is not None:
+        skipped = done.count()
+    return {
+        "run_id": run_id,
+        "n_docs": n_docs,
+        "wall_ms": int((time.monotonic() - t0) * 1000),
+        "resumed_skipped": skipped,
+    }
+
+
+def read_results(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(_results_root(output_dir))
+
+
+def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, METRICS))

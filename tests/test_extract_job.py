@@ -1,0 +1,61 @@
+"""Resume + lineage semantics: a second run after partial completion
+processes exactly the complement; final results equal a one-shot run;
+metrics cover every result partition."""
+
+from __future__ import annotations
+
+from bb_ocr_spark import datagen
+from bb_ocr_spark.plans.extract_job import (
+    read_metrics,
+    read_results,
+    run_extract_job,
+)
+
+N = 80
+
+
+def test_resume_and_lineage(spark, tmp_path):
+    out = str(tmp_path / "job")
+    full = datagen.generate_df(spark, N, partitions=4)
+    half = full.filter(f"doc_id < '{datagen.doc_id_of(N // 2)}'")
+
+    s1 = run_extract_job(spark, half, out, run_id="r1")
+    assert s1["n_docs"] == N // 2 and s1["resumed_skipped"] == 0
+
+    s2 = run_extract_job(spark, full, out, run_id="r2")
+    assert s2["n_docs"] == N - N // 2, "resume must process exactly the complement"
+    assert s2["resumed_skipped"] == N // 2
+
+    res = read_results(spark, out)
+    assert res.count() == N
+    assert res.select("doc_id").distinct().count() == N, "no doc processed twice"
+
+    # one-shot run elsewhere must produce identical (doc_id, checksum) pairs
+    out2 = str(tmp_path / "oneshot")
+    run_extract_job(spark, full, out2, run_id="r1")
+    a = {(r["doc_id"], r["checksum"]) for r in res.select("doc_id", "checksum").collect()}
+    b = {
+        (r["doc_id"], r["checksum"])
+        for r in read_results(spark, out2).select("doc_id", "checksum").collect()
+    }
+    assert a == b
+
+    # lineage: metrics rows exist per (run, partition); totals reconcile
+    m = read_metrics(spark, out)
+    agg = m.groupBy().sum("n_docs").collect()[0][0]
+    assert agg == N
+    runs = {r["run_id"] for r in m.select("run_id").distinct().collect()}
+    assert runs == {"r1", "r2"}
+    # xor of partition checksums == xor of per-doc checksums
+    total_ck = res.selectExpr("bit_xor(checksum)").collect()[0][0]
+    m_ck = m.selectExpr("bit_xor(checksum)").collect()[0][0]
+    assert total_ck == m_ck
+
+
+def test_noop_rerun(spark, tmp_path):
+    out = str(tmp_path / "job")
+    df = datagen.generate_df(spark, 20, partitions=2)
+    run_extract_job(spark, df, out, run_id="a")
+    s = run_extract_job(spark, df, out, run_id="b")
+    assert s["n_docs"] == 0, "fully-completed input must be a no-op"
+    assert read_results(spark, out).count() == 20

@@ -1,0 +1,67 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 and compares against
+its oracle_sql() via DuckDB: row count, column names, and order-insensitive
+per-column values (sorted-by-name columns, stringified, sorted rows).
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from bb_ocr_spark.session import get_spark  # noqa: E402
+from bb_ocr_spark.sources.tables import TPCH_TABLES  # noqa: E402
+
+
+def norm_frame(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    sub = df[cols].astype(str)
+    return sorted(map(tuple, sub.values.tolist())), cols
+
+
+def main(sf_dir: str) -> int:
+    import __spark_entry__ as E
+
+    spark = get_spark("check_oracle", cores=8)
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        got_df = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name}: NO-ORACLE rows={len(got_df)}")
+            continue
+        want_df = con.execute(oracles[name]).fetchdf()
+        got, gcols = norm_frame(got_df)
+        want, wcols = norm_frame(want_df)
+        if gcols != wcols:
+            print(f"{name}: FAIL columns {gcols} != {wcols}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"{name}: FAIL rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        if got != want:
+            bad = [(g, w) for g, w in zip(got, want) if g != w][:3]
+            print(f"{name}: FAIL values; first diffs: {bad}")
+            failures += 1
+            continue
+        print(f"{name}: OK rows={len(got)}")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
