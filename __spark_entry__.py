@@ -296,6 +296,158 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_ocr_spark.functions.text import (
+        bpe_ish_token_count_col,
+        fingerprint_md5_col,
+        lang_guess_col,
+        quality_cols,
+        token_count_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens_ws"),
+        bpe_ish_token_count_col(t).alias("n_tokens_bpe"),
+        lang_guess_col(t).alias("lang_guess"),
+        fingerprint_md5_col(t).alias("fingerprint"),
+        *[c for c in quality_cols(t)],
+    ).drop("n_tokens")
+
+
+_ORACLE_TEXT_STATS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+  FROM documents
+), hits AS (
+  SELECT *,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans','pour'))) AS h_fr,
+    len(list_filter(toks, x -> x IN ('el','los','las','es','una','para','por','como'))) AS h_es,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that',
+                                     'it','for','on','with','as','at'))) AS h_stop,
+    len(toks) AS n_tok
+  FROM base
+)
+SELECT doc_id,
+  n_tok AS n_tokens_ws,
+  len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens_bpe,
+  CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN NULL
+       WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
+       WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
+       WHEN h_fr = greatest(h_en,h_de,h_fr,h_es) THEN 'fr'
+       ELSE 'es' END AS lang_guess,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+  length(text) AS n_chars,
+  round(CASE WHEN n_tok > 0 THEN nonws / CAST(n_tok AS DOUBLE) ELSE 0.0 END, 4) AS mean_tok_len,
+  round(CASE WHEN nonws > 0 THEN alnum / CAST(nonws AS DOUBLE) ELSE 0.0 END, 4) AS alnum_ratio,
+  round(CASE WHEN nonws > 0 THEN punct / CAST(nonws AS DOUBLE) ELSE 0.0 END, 4) AS punct_ratio,
+  round(CASE WHEN n_tok > 0 THEN h_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END, 4) AS stop_ratio,
+  (n_tok >= 5
+   AND round(CASE WHEN n_tok > 0 THEN nonws / CAST(n_tok AS DOUBLE) ELSE 0.0 END, 4) >= 2.0
+   AND round(CASE WHEN n_tok > 0 THEN nonws / CAST(n_tok AS DOUBLE) ELSE 0.0 END, 4) <= 12.0
+   AND round(CASE WHEN nonws > 0 THEN alnum / CAST(nonws AS DOUBLE) ELSE 0.0 END, 4) >= 0.6)
+    AS quality_keep
+FROM hits
+"""
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).withColumnRenamed("doc_id", "canonical_id")
+
+
+_ORACLE_EXACT_DEDUP = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS canonical_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "text"),
+        threshold=0.05,
+        n=3,
+    )
+
+
+_ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks)-1, 2))]) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.s, b.s)) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE len(list_intersect(a.s, b.s)) /
+      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05
+"""
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-SQL-expressible (seeded xxhash64 signatures) — rows-only check;
+    # exactness vs true Jaccard is covered by tests/test_text_dedup_sim.py
+    from bb_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "text"),
+        num_hashes=64,
+        bands=16,
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-SQL-expressible (xxhash64 bit votes) — rows-only check
+    from bb_ocr_spark.operators.dedup import simhash_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash_col(F.col("text")).alias("simhash")
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bb_ocr_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -313,6 +465,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": _q_running_window,
         "union_dedup": _q_union_dedup,
         "json_extract": _q_json_extract,
+        "text_stats": _q_text_stats,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
     }
 
 
@@ -328,4 +486,10 @@ def oracle_sql() -> dict[str, str]:
         "running_window": _ORACLE_RUNNING_WINDOW,
         "union_dedup": _ORACLE_UNION_DEDUP,
         "json_extract": _ORACLE_JSON_EXTRACT,
+        "text_stats": _ORACLE_TEXT_STATS,
+        "exact_dedup": _ORACLE_EXACT_DEDUP,
+        "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        # minhash_lsh, simhash: seeded-hash ops, not SQL-expressible —
+        # driver records rows-only; exactness covered in tests/
+        "embedding_topk": _ORACLE_EMBEDDING_TOPK,
     }

@@ -1,0 +1,137 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Spark SQL expressions (JVM-side, codegen-friendly): language-ID
+(marker-word n-gram heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (md5 + rolling 64-bit polynomial hash).
+
+These extend the reference's text heuristics (genre keyword argmax at
+hueristics/book_extractor.py:149-178, normalization at abebooks_html.py:8-11)
+to the corpus-quality operations a 100 TB pretraining pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language (deterministic heuristic lang-ID; the kind
+# of n-gram/stopword profile langid tools use, reduced to exact-match form
+# so a SQL oracle can replicate it)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+    "es": ["el", "los", "las", "es", "una", "para", "por", "como"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "at"]
+
+
+def tokens_col(text: Column) -> Column:
+    """whitespace tokens of the lowercased text (no empties)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer approximation: count matches of
+    contraction | word | number | punct-run (public BPE split regex shape).
+    """
+    pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+
+def lang_scores_col(text: Column) -> Column:
+    """array<struct<hits,neg_idx,lang>> of marker hits per language."""
+    toks = tokens_col(text)
+
+    def hits(markers: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    return F.array(
+        *[
+            F.struct(
+                hits(m).alias("hits"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, m) in enumerate(LANG_MARKERS.items())
+        ]
+    )
+
+
+def lang_guess_col(text: Column) -> Column:
+    """argmax language by marker hits; earliest language wins ties;
+    NULL when nothing matches."""
+    best = F.array_max(lang_scores_col(text))
+    return F.when(best["hits"] > 0, best["lang"])
+
+
+def quality_cols(text: Column) -> list[Column]:
+    """Quality signals (Gopher/C4-style filters, exact-arithmetic form):
+    n_chars, n_tokens, mean token length, alnum ratio, punct ratio,
+    stopword ratio, and a composite keep/drop flag."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    nonws = F.length(F.regexp_replace(text, r"\s", ""))
+    alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    mean_tok_len = F.round(
+        F.when(n_tok > 0, nonws.cast("double") / n_tok).otherwise(F.lit(0.0)), 4
+    )
+    alnum_ratio = F.round(
+        F.when(nonws > 0, alnum.cast("double") / nonws).otherwise(F.lit(0.0)), 4
+    )
+    punct_ratio = F.round(
+        F.when(nonws > 0, punct.cast("double") / nonws).otherwise(F.lit(0.0)), 4
+    )
+    stop_ratio = F.round(
+        F.when(n_tok > 0, stop.cast("double") / n_tok).otherwise(F.lit(0.0)), 4
+    )
+    keep = (
+        (n_tok >= 5)
+        & (mean_tok_len >= 2.0)
+        & (mean_tok_len <= 12.0)
+        & (alnum_ratio >= 0.6)
+    )
+    return [
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        alnum_ratio.alias("alnum_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        keep.alias("quality_keep"),
+    ]
+
+
+def fingerprint_md5_col(text: Column) -> Column:
+    """md5 of the whitespace-normalized lowercased text — the exact-dedup key."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def rolling_hash_col(text: Column, base: int = 1000003) -> Column:
+    """Polynomial rolling hash over tokens modulo 2^31-1 (order-sensitive
+    document fingerprint). Operands stay bounded (acc < 2^31, base < 2^20,
+    token hash < 2^31 ⇒ acc*base + h < 2^52) so the multiply-add never
+    overflows int64 — ANSI-mode safe."""
+    toks = tokens_col(text)
+    h = lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 31).cast("long"))  # noqa: E731
+    return F.aggregate(
+        toks,
+        F.lit(5381).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base).cast("long") + h(t), F.lit(MERSENNE31)
+        ),
+    )

@@ -36,12 +36,24 @@ EXPLODED_COLS = ("doc_id", "kind", "text", "media_ref", "offset")
 
 
 def explode_spans(documents_interleaved: DataFrame) -> DataFrame:
-    """(doc_id, spans[]) → one row per span + n_spans (for salting)."""
-    return documents_interleaved.select(
-        "doc_id",
-        F.size("spans").alias("n_spans"),
-        F.inline("spans"),
+    """(doc_id, spans[]) → one row per span + n_spans (for salting).
+
+    n_spans is folded INTO each span struct before the inline: if it were a
+    separate `size(spans)` projection, Catalyst collapses it past the
+    Generate, keeps the whole array in the generator's required output, and
+    every exploded row carries a copy — O(n²) per doc, a ~30× slowdown on
+    mega-docs (observed: 187 s vs 6 s on the sf0.1 bench corpus)."""
+    with_n = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+            F.size("spans").alias("n_spans"),
+        ),
     )
+    return documents_interleaved.select("doc_id", F.inline(with_n))
 
 
 def assemble_spans(
@@ -57,23 +69,29 @@ def assemble_spans(
     provides it; producers that don't know it can pass n_spans = a large
     constant to force salting, or use `with_span_counts`.
     """
-    salt = F.when(
-        F.col("n_spans") > salt_threshold,
-        F.pmod(F.col("offset"), F.lit(salt_buckets)),
-    ).otherwise(F.lit(0))
-    phase1 = (
-        exploded.withColumn("salt", salt)
-        .groupBy("doc_id", "salt")
-        .agg(
-            F.collect_list(
-                F.struct("offset", "kind", "text", "media_ref")
-            ).alias("part")
-        )
+    span_struct = F.struct("offset", "kind", "text", "media_ref")
+    # Branch on the row-local n_spans: the body of the distribution takes
+    # the plain single-shuffle aggregation; ONLY rows of skew-tail docs
+    # (n_spans > threshold) enter the salted two-phase path, so the second
+    # shuffle moves ~0.1% of the payload. The input is scanned once per
+    # branch — at Iceberg scale a materialized span-count column lets the
+    # scan prune the other branch's files; recomputing the narrow
+    # explode+filter is cheap relative to caching the whole exploded set.
+    small = (
+        exploded.filter(F.col("n_spans") <= salt_threshold)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(span_struct)).alias("keyed"))
     )
-    phase2 = phase1.groupBy("doc_id").agg(
+    big_rows = exploded.filter(F.col("n_spans") > salt_threshold)
+    phase1 = (
+        big_rows.withColumn("salt", F.pmod(F.col("offset"), F.lit(salt_buckets)))
+        .groupBy("doc_id", "salt")
+        .agg(F.collect_list(span_struct).alias("part"))
+    )
+    big = phase1.groupBy("doc_id").agg(
         F.array_sort(F.flatten(F.collect_list("part"))).alias("keyed")
     )
-    return phase2.select(
+    return small.unionByName(big).select(
         "doc_id",
         F.transform(
             "keyed",

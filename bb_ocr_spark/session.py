@@ -35,8 +35,14 @@ def get_spark(
         # bound Arrow batches so span-heavy docs fit executor memory
         # (reference analog: per-image downscale caps)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("BB_OCR_DRIVER_MEM", "16g"))
+        # local mode = one JVM; heap must cover all N executor threads'
+        # aggregation buffers (mega-doc collect_list spikes)
+        .config("spark.driver.memory", os.environ.get("BB_OCR_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
+        # collect_list/collect_set aggregations fall back to sort-based
+        # merging (serialize per-group buffers) after this many groups per
+        # partition; the 128 default is a 2.5-10x cliff for span assembly
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,121 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Covers the engine's two workload classes:
+  - extraction: interleaved-spans corpus (generated deterministically at a
+    size scaled to the sf dir) through the flagship zero-shuffle pipeline,
+    the HTML tokenizer, the exploded/salted assembly path, and metadata
+    extraction — reported also as docs/sec;
+  - relational: every __spark_entry__.queries() entry at the sf dir.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in tools/scaling_bench.py
+(separate JVMs per parallelism level) → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bb_ocr_spark import datagen  # noqa: E402
+from bb_ocr_spark.functions.metadata import extract_metadata_df  # noqa: E402
+from bb_ocr_spark.operators.assemble import (  # noqa: E402
+    assemble_spans,
+    explode_spans,
+    filter_spans,
+)
+from bb_ocr_spark.operators.extract import extract_inline  # noqa: E402
+from bb_ocr_spark.operators.tokenizer import tokenize_html_expr  # noqa: E402
+from bb_ocr_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# docs scaled to sf: sf0.1 → 20k interleaved docs (incl. 20 mega-docs)
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_DOCS = max(int(200_000 * _SF), 2_000)
+
+
+def _corpus_path(kind: str) -> str:
+    return f"/tmp/bb_ocr_bench/{kind}_{N_DOCS}"
+
+
+def prepare(spark) -> tuple[str, str]:
+    """Materialize the interleaved + html corpora once (outside timing)."""
+    spans_path = _corpus_path("spans")
+    html_path = _corpus_path("html")
+    if not os.path.isdir(spans_path):
+        datagen.generate_df(spark, N_DOCS).write.mode("overwrite").parquet(spans_path)
+    if not os.path.isdir(html_path):
+        datagen.generate_html_df(spark, N_DOCS).write.mode("overwrite").parquet(
+            html_path
+        )
+    return spans_path, html_path
+
+
+def timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    spark = get_spark("bb_ocr_bench", cores=CPUS, shuffle_partitions=CPUS)
+    spans_path, html_path = prepare(spark)
+    spans_df = spark.read.parquet(spans_path)
+    html_df = spark.read.parquet(html_path)
+
+    q: dict[str, float] = {}
+
+    # extraction workloads (count() forces full computation; results are
+    # not collected to the driver)
+    q["extract_inline"] = timed(
+        lambda: extract_inline(spans_df).selectExpr(
+            "sum(size(spans))"
+        ).collect()
+    )
+    q["tokenize_html"] = timed(
+        lambda: tokenize_html_expr(html_df).selectExpr("sum(size(spans))").collect()
+    )
+    q["assemble_exploded"] = timed(
+        lambda: assemble_spans(filter_spans(explode_spans(spans_df)))
+        .selectExpr("sum(size(spans))")
+        .collect()
+    )
+    q["extract_metadata"] = timed(
+        lambda: extract_metadata_df(spans_df).selectExpr(
+            "count(isbn_13)", "count(year)", "count(genre)"
+        ).collect()
+    )
+
+    # relational workloads: every driver-contract query at SF_DIR
+    import __spark_entry__ as E
+
+    for name, fn in E.queries().items():
+        df = fn(spark, SF_DIR)
+        q[name] = timed(lambda df=df: df.selectExpr("count(*)").collect())
+
+    total = round(sum(q.values()), 3)
+    docs_per_sec = round(N_DOCS / q["extract_inline"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": _SF,
+                "n_interleaved_docs": N_DOCS,
+                "extract_docs_per_sec": docs_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

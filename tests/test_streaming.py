@@ -1,0 +1,79 @@
+"""Streaming semantics: windowed/session aggregations driven through a real
+streaming query (memory sink, processAllAvailable) must equal the same
+aggregation computed in batch over the same input."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bb_ocr_spark.streaming.events import (
+    deduped_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # streaming file source wants a directory of just this table
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(str(d), "events.parquet")
+    )
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = windowed_counts(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "win_out", output_mode="append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+    )
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"]) for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match batch exactly, and most windows must have been emitted
+    assert got, "stream produced no output"
+    for k, v in got.items():
+        assert want[k] == v, k
+    assert len(got) >= len(want) - 4  # trailing windows may still be open
+
+
+def test_dedup_stream(spark, events_dir):
+    stream = deduped_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream, "dedup_out", output_mode="append")
+    out = spark.sql("SELECT user_id, event_type, count(*) c FROM dedup_out GROUP BY 1,2")
+    assert out.filter("c > 1").count() == 0, "stateful dedup must emit each key once"
+    assert out.count() > 0
+
+
+def test_session_windows(spark, events_dir):
+    stream = session_windows(read_events_stream(spark, events_dir), gap="30 minutes")
+    run_to_memory(stream, "sess_out", output_mode="append")
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    assert rows, "no sessions emitted"
+    # sessions are disjoint per user and each covers >= 1 event
+    by_user: dict[int, list[tuple]] = {}
+    for r in rows:
+        assert r["n_events"] >= 1
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2, "overlapping sessions for one user"

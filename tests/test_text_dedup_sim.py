@@ -1,0 +1,257 @@
+"""Text analysis, dedup tiers, and similarity search.
+
+Exactness checks against plain-Python references where the op is exact
+(quality metrics, rolling hash, exact dedup, ngram jaccard, simhash);
+recall measurements (not assumptions) for the approximate tiers
+(MinHash-LSH vs exact Jaccard, LSH-ANN vs brute force)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bb_ocr_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count_col,
+    fingerprint_md5_col,
+    lang_guess_col,
+    quality_cols,
+    rolling_hash_col,
+    token_count_col,
+)
+from bb_ocr_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_col,
+)
+from bb_ocr_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    lsh_topk,
+    pandas_cosine_topk,
+)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def test_lang_and_quality(spark):
+    rows = [
+        ("1", "the quick fox and the dog in a field is that"),
+        ("2", "der Hund ist nicht mit der Katze und das Haus"),
+        ("3", "le chat est dans la maison pour les amis et"),
+        ("4", "xyzzy qwerty plugh"),
+        ("5", ""),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            lang_guess_col(F.col("text")).alias("lang"),
+            token_count_col(F.col("text")).alias("n_tok"),
+            bpe_ish_token_count_col(F.col("text")).alias("n_bpe"),
+            *quality_cols(F.col("text")),
+        ).collect()
+    }
+    assert out["1"]["lang"] == "en"
+    assert out["2"]["lang"] == "de"
+    assert out["3"]["lang"] == "fr"
+    assert out["4"]["lang"] is None
+    assert out["1"]["n_tok"] == 11
+    assert out["5"]["n_tok"] == 0 and out["5"]["quality_keep"] is False
+    assert out["1"]["quality_keep"] is True
+    assert out["1"]["stop_ratio"] > 0.3
+    assert out["2"]["n_bpe"] >= out["2"]["n_tok"]  # punct splits add tokens
+
+
+def test_rolling_hash_matches_python(spark):
+    # python reference using Spark's own xxhash64 per token
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "gamma beta alpha"), ("c", "alpha beta gamma")],
+        "id string, text string",
+    )
+    toks = df.select(
+        "id", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).select("id", "t", F.pmod(F.xxhash64("t"), F.lit(1 << 31)).alias("h"))
+    per_tok = {
+        (r["id"], r["t"]): r["h"] for r in toks.collect()
+    }
+
+    def py_roll(id_, text):
+        acc = 5381
+        for t in text.lower().split():
+            acc = (acc * 1000003 + per_tok[(id_, t)]) % ((1 << 31) - 1)
+        return acc
+
+    got = {
+        r["id"]: r["rh"]
+        for r in df.select("id", rolling_hash_col(F.col("text")).alias("rh")).collect()
+    }
+    for id_, text in [("a", "alpha beta gamma"), ("b", "gamma beta alpha")]:
+        assert got[id_] == py_roll(id_, text)
+    assert got["a"] == got["c"]  # same text, same hash
+    assert got["a"] != got["b"]  # order-sensitive
+
+
+# --------------------------------------------------------------------------
+# dedup tiers
+# --------------------------------------------------------------------------
+
+CORPUS = [
+    ("d1", "the cat sat on the mat near the door"),
+    ("d2", "The  cat sat ON the mat near the door"),  # exact dup after norm
+    ("d3", "the cat sat on the mat near the window"),  # near dup of d1
+    ("d4", "completely unrelated text about spark clusters and shuffles"),
+    ("d5", "spark clusters and shuffles need tuning for skew"),  # near d4-ish
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id string, text string")
+
+
+def test_exact_dedup(corpus_df):
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(corpus_df).collect()}
+    assert out["d1"] == 2  # d2 collapsed into d1
+    assert "d2" not in out
+    assert out["d3"] == 1
+
+
+def py_shingles(text, n=3):
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard(a, b, n=3):
+    sa, sb = py_shingles(a, n), py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_shingles_and_ngram_jaccard(spark, corpus_df):
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in corpus_df.select(
+            "doc_id", shingles_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for did, text in CORPUS:
+        assert sh[did] == py_shingles(text), did
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus_df, threshold=0.2).collect()
+    }
+    # exact expectations from the python reference
+    want = {}
+    for i, (ida, ta) in enumerate(CORPUS):
+        for idb, tb in CORPUS[i + 1 :]:
+            j = py_jaccard(ta, tb)
+            if j >= 0.2:
+                want[(min(ida, idb), max(ida, idb))] = round(j, 6)
+    assert pairs == want
+    assert ("d1", "d3") in pairs  # near-dup found
+
+
+def test_minhash_lsh_recall(spark):
+    # corpus with planted near-duplicates: LSH must recover every exact
+    # pair at jaccard >= 0.5 (16 bands x 4 rows -> P(miss | j=0.5) ~ 0.34^16)
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        rows.append((f"o{i}", f"{base} variant {i} " + " ".join(f"w{i}_{j}" for j in range(6))))
+        rows.append((f"c{i}", f"{base} variant {i} " + " ".join(f"w{i}_{j}" for j in range(5)) + " changed"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, num_hashes=64, bands=16).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall} on planted near-dups"
+
+
+def test_simhash(spark, corpus_df):
+    out = corpus_df.select(
+        "doc_id", simhash_col(F.col("text")).alias("sh")
+    )
+    pairs = (
+        out.alias("a")
+        .join(out.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("ham"),
+        )
+    )
+    d = {(r["x"], r["y"]): r["ham"] for r in pairs.collect()}
+    assert d[("d1", "d2")] == 0  # normalization → identical token multiset
+    assert d[("d1", "d3")] < d[("d1", "d4")]  # near-dup closer than unrelated
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def test_ann_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=5)
+    got = {(r["query_id"], r["rk"]): r["vec_id"] for r in exact.collect()}
+    assert len(got) == 8 * 5
+
+    # pandas/BLAS variant must agree exactly with the HOF variant
+    pdf = queries.toPandas()
+    blas = pandas_cosine_topk(emb, pdf, k=5)
+    got2 = {(r["query_id"], r["rk"]): r["vec_id"] for r in blas.collect()}
+    assert got2 == got
+
+    # LSH tier: random 64-dim gaussians have no neighbor structure (all
+    # cosines ~0), so recall is measured on PLANTED neighbors: queries are
+    # tiny perturbations of corpus vectors — the true near-copy agrees with
+    # its source on every hyperplane sign whp and must be found at rank 1.
+    import pandas as pd
+
+    src = emb.filter(F.col("vec_id") < 20).toPandas()
+    planted = pd.DataFrame(
+        {
+            "vec_id": src["vec_id"] + 500_000,
+            "embedding": [
+                [float(x) * 1.001 for x in v] for v in src["embedding"]
+            ],
+            "label": src["label"],
+        }
+    )
+    q_df = spark.createDataFrame(planted)
+    approx = lsh_topk(emb, q_df, dim=64, k=3, n_planes=10)
+    top1 = {
+        r["query_id"]: r["vec_id"] for r in approx.collect() if r["rk"] == 1
+    }
+    found = sum(1 for qid, vid in top1.items() if vid == qid - 500_000)
+    assert found / len(src) >= 0.9, f"LSH found {found}/{len(src)} planted neighbors"
+
+
+def test_embedding_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant exact duplicates by unioning a shifted copy of 5 vectors
+    dup = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    all_ = emb.unionByName(dup)
+    pairs = embedding_dup_pairs(all_, dim=64, threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in found

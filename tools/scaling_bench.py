@@ -1,0 +1,110 @@
+"""Scaling-efficiency evidence: the identical extraction job at local[N]
+vs local[4N] (fresh JVM each), same input, throughput at both + efficiency.
+
+No real multi-node cluster exists in this sandbox (BASELINE.md), so the
+north-rule's N→4N executor criterion is evidenced by parallelism scaling on
+one box: efficiency = (T_N / T_4N) / 4.
+
+Usage: python tools/scaling_bench.py [n_small] [n_docs]
+Writes/updates BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from bb_ocr_spark.session import get_spark
+from bb_ocr_spark.operators.extract import extract_inline, serialize_spans_col
+from pyspark.sql import functions as F
+
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=cores)
+df = spark.read.parquet(path)
+# warm the page cache / JIT with a cheap pass
+df.selectExpr("count(*)").collect()
+t0 = time.monotonic()
+out = extract_inline(df).withColumn("ck", F.xxhash64(serialize_spans_col(F.col("spans"))))
+row = out.selectExpr("bit_xor(ck) as x", "count(*) as n").collect()[0]
+dt = time.monotonic() - t0
+print(json.dumps({{"cores": cores, "sec": round(dt, 3), "n": row["n"],
+                   "checksum": row["x"]}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, path: str) -> dict:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), path],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    path = f"/tmp/bb_ocr_bench/spans_{n_docs}"
+    if not os.path.isdir(path):
+        from bb_ocr_spark.session import get_spark  # noqa: PLC0415
+        from bb_ocr_spark import datagen  # noqa: PLC0415
+
+        sys.path.insert(0, REPO)
+        spark = get_spark("scale_gen", cores=os.cpu_count())
+        datagen.write_parquet(spark, n_docs, path)
+        spark.stop()
+
+    small = run_at(n_small, path)
+    big = run_at(n_small * 4, path)
+    assert small["checksum"] == big["checksum"], "results differ across parallelism!"
+    thr_small = small["n"] / small["sec"]
+    thr_big = big["n"] / big["sec"]
+    eff = (small["sec"] / big["sec"]) / 4
+    result = {
+        "n_docs": small["n"],
+        "cores_small": n_small,
+        "cores_big": n_small * 4,
+        "sec_small": small["sec"],
+        "sec_big": big["sec"],
+        "docs_per_sec_small": round(thr_small, 1),
+        "docs_per_sec_big": round(thr_big, 1),
+        "scaling_efficiency": round(eff, 3),
+        "checksum_equal": True,
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    with open(md, "a") as f:
+        f.write(
+            f"\n## Scaling run {stamp} UTC\n\n"
+            f"Flagship extraction (`extract_inline` + checksum) over "
+            f"{small['n']} interleaved docs (incl. mega-doc skew tail), "
+            f"identical input and job at two parallelism levels, fresh JVM "
+            f"each (sandbox stand-in for N vs 4N executors; no real cluster "
+            f"available):\n\n"
+            f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
+            f"| local[{n_small}] | {small['sec']} | {thr_small:.1f} |\n"
+            f"| local[{n_small * 4}] | {big['sec']} | {thr_big:.1f} |\n\n"
+            f"**Scaling efficiency = (T_{n_small} / T_{n_small * 4}) / 4 = "
+            f"{eff:.3f}** (target >= 0.8). Output checksums identical at "
+            f"both levels.\n"
+        )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    main()
