@@ -448,6 +448,85 @@ SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
 """
 
 
+def _q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U8: markdown-fenced / placeholder-laden JSON → cleaned → schema parse
+    # with all-null fallback. Raw payloads are synthesized deterministically
+    # from the documents table (every 10th doc unparseable) in BOTH engines.
+    from bb_ocr_spark.functions.jsonrepair import cleaned_json_col
+
+    d = _docs(spark, sf_dir)
+    raw = F.when(
+        F.col("doc_id") % 10 == 3, F.lit("no json here at all")
+    ).otherwise(
+        F.concat(
+            F.lit('```json\n{"title": "T'),
+            F.col("doc_id").cast("string"),
+            F.lit('", "publisher": "string | null", "year": "19'),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit('"}\n``` trailing prose'),
+        )
+    )
+    parsed = F.from_json(
+        cleaned_json_col(raw), "struct<title:string, publisher:string, year:string>"
+    )
+    return d.select(
+        "doc_id",
+        parsed["title"].alias("title"),
+        parsed["publisher"].alias("publisher"),
+        parsed["year"].alias("year"),
+        parsed.isNull().alias("fallback_used"),
+    )
+
+
+_ORACLE_JSON_REPAIR = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN 'no json here at all'
+              ELSE '```json' || chr(10) || '{"title": "T' || CAST(doc_id AS VARCHAR)
+                   || '", "publisher": "string | null", "year": "19'
+                   || CAST(doc_id % 100 AS VARCHAR) || '"}' || chr(10)
+                   || '``` trailing prose' END AS payload
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_extract(regexp_replace(payload, '```(?:json)?', '', 'g'),
+                          '(\{[\s\S]*\})', 1),
+           '"(?:string|integer|number)\s*\|\s*null"', 'null', 'g') AS body
+  FROM raw
+)
+SELECT doc_id,
+       CASE WHEN json_valid(body) THEN json_extract_string(body, '$.title') END AS title,
+       CASE WHEN json_valid(body) THEN json_extract_string(body, '$.publisher') END AS publisher,
+       CASE WHEN json_valid(body) THEN json_extract_string(body, '$.year') END AS year,
+       NOT json_valid(body) AS fallback_used
+FROM cleaned
+"""
+
+
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming windowed agg semantics, batch-checkable: tumbling 1h window
+    # == date_trunc hour (window starts are epoch-aligned in UTC)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_ORACLE_WINDOWED_COUNTS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -471,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
+        "json_repair": _q_json_repair,
+        "windowed_counts": _q_windowed_counts,
     }
 
 
@@ -492,4 +573,6 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh, simhash: seeded-hash ops, not SQL-expressible —
         # driver records rows-only; exactness covered in tests/
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
+        "json_repair": _ORACLE_JSON_REPAIR,
+        "windowed_counts": _ORACLE_WINDOWED_COUNTS,
     }

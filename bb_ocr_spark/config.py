@@ -26,6 +26,15 @@ All regexes are ASCII-only so Java (Spark) and Python `re` semantics agree.
 # (alnum, not alpha: ISBN/price/year lines are digit-heavy CONTENT — an
 # alpha-only rule silently drops every metadata-bearing span)
 LINK_TOKEN_RE = r"^(https?://\S*|href=\S*|[|]|[>»]|\[nav\])$"
+# same token alternatives as LINK_TOKEN_RE, fenced by whitespace/edge
+# lookarounds so occurrences can be COUNTED in one pass over the raw string
+# (Java regex; Python re can't do variable-width lookbehind — the oracle
+# keeps the split-token form, goldens enforce equivalence)
+LINK_TOKEN_COUNT_RE = (
+    r"(?<=^|[ \t\n\r])"
+    r"(https?://[^ \t\n\r]*|href=[^ \t\n\r]*|\||[>»]|\[nav\])"
+    r"(?=$|[ \t\n\r])"
+)
 LINK_DENSITY_MAX = 0.30
 ALNUM_DENSITY_MIN = 0.50
 # token split regex (ASCII whitespace run)

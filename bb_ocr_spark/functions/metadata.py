@@ -63,6 +63,13 @@ def metadata_cols(extracted_spans: Column) -> list[Column]:
         _first_match(ctx, config.YEAR_RE).alias("year"),
         _first_match(ctx, config.PUBLISHER_RE).alias("publisher"),
         _first_match(ctx, config.PRICE_RE).cast("double").alias("price_amount"),
+        # A9 last-match reduce: grand total = LAST price in the document
+        # (reference hueristics/extractor.py:91-96)
+        F.try_element_at(
+            F.regexp_extract_all(ctx, F.lit(config.PRICE_RE), F.lit(1)), F.lit(-1)
+        )
+        .cast("double")
+        .alias("last_price_amount"),
         genre_col(ctx).alias("genre"),
     ]
 

@@ -1,0 +1,68 @@
+"""Locale-aware numeric + currency parsing (F3).
+
+Reference: abebooks_html.py:19-45 `_to_float` — disambiguate thousand vs
+decimal separators by the LAST of ','/'.' (e.g. "1.234,56" → 1234.56,
+"1,234.56" → 1234.56, "12,50" → 12.50) — and :48-91 currency symbol/word →
+ISO code. Pure expressions: regexp_replace chains + a literal map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CURRENCY_MAP = {
+    "$": "USD",
+    "US$": "USD",
+    "€": "EUR",
+    "£": "GBP",
+    "¥": "JPY",
+    "C$": "CAD",
+    "A$": "AUD",
+    "usd": "USD",
+    "eur": "EUR",
+    "gbp": "GBP",
+    "dollar": "USD",
+    "dollars": "USD",
+    "euro": "EUR",
+    "euros": "EUR",
+    "pound": "GBP",
+    "pounds": "GBP",
+}
+
+
+def parse_locale_number(raw: Column) -> Column:
+    """string with mixed separators → DOUBLE (NULL if unparseable).
+
+    Rule (reference semantics): keep digits and separators; the LAST of
+    ','/'.' is the decimal point iff it is followed by 1-2 digits at the
+    end; every other separator is a grouping mark."""
+    s = F.regexp_replace(F.trim(raw), r"[^0-9.,-]", "")
+    # decimal comma: ...,dd at end and no '.' after it
+    dec_comma = s.rlike(r",\d{1,2}$") & ~s.rlike(r",\d{1,2}\.\d")
+    # normalize: for decimal-comma, drop dots then comma→dot;
+    # otherwise drop commas (grouping)
+    norm = F.when(
+        dec_comma,
+        F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", "."),
+    ).otherwise(F.regexp_replace(s, ",", ""))
+    return norm.try_cast("double")
+
+
+def currency_code(raw: Column) -> Column:
+    """symbol/word → ISO code (NULL if unknown). First match in the raw
+    string wins; symbols checked before words."""
+    lowered = F.lower(F.trim(raw))
+    expr = F.lit(None).cast("string")
+    # longest symbol first ('C$' before '$'), then map order; reversed
+    # when-chain so higher-priority entries end up outermost
+    ordered = sorted(
+        CURRENCY_MAP.items(), key=lambda kv: (-len(kv[0]), list(CURRENCY_MAP).index(kv[0]))
+    )
+    for key, code in reversed(ordered):
+        if key.isalpha():
+            cond = lowered.rlike(rf"\b{key}\b")
+        else:
+            cond = F.trim(raw).contains(key)
+        expr = F.when(cond, F.lit(code)).otherwise(expr)
+    return expr

@@ -32,13 +32,28 @@ OUT_SCHEMA_DDL = (
 
 
 def is_boilerplate_text_col(text: Column) -> Column:
-    """Link-density + alpha-density classifier, identical to
-    oracle.is_boilerplate_text. Assumes text is non-null and non-blank."""
-    toks = F.split(F.trim(text), config.TOKEN_SPLIT_RE)
-    ntok = F.size(toks)
-    nlink = F.size(F.filter(toks, lambda t: t.rlike(config.LINK_TOKEN_RE)))
-    alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
-    nonws = F.length(F.regexp_replace(text, "[ \\t\\n\\r]", ""))
+    """Link-density + alnum-density classifier, identical semantics to
+    oracle.is_boilerplate_text. Assumes text is non-null and non-blank.
+
+    Counting is done with regexp_count — no split() token arrays, no
+    regexp_replace string rewrites: the classifier runs on every span of
+    every document, and string-rewrite counting was 18 s of a 20 s
+    extraction at sf0.1.
+      ntok  = # non-ws runs           (== len(split tokens))
+      nlink = # tokens matching LINK_TOKEN_RE, via the same alternatives
+              fenced by ws/edge lookarounds (token-exact match)
+      alnum / nonws = per-char class counts via translate() — a charmap
+              delete, no regex engine at all (fastest of the three forms
+              A/B-measured: string-rewrite 18 s > regexp_count 13.4 s >
+              translate 12.5 s for the full filter at sf0.1/2 cores)
+    """
+    import string  # noqa: PLC0415
+
+    alnum_chars = string.ascii_letters + string.digits
+    ntok = F.regexp_count(text, F.lit(r"[^ \t\n\r]+"))
+    nlink = F.regexp_count(text, F.lit(config.LINK_TOKEN_COUNT_RE))
+    alnum = F.length(text) - F.length(F.translate(text, alnum_chars, ""))
+    nonws = F.length(F.translate(text, " \t\n\r", ""))
     return (nlink.cast("double") / ntok > F.lit(config.LINK_DENSITY_MAX)) | (
         alnum.cast("double") / nonws < F.lit(config.ALNUM_DENSITY_MIN)
     )
@@ -50,7 +65,8 @@ def normalize_text_col(text: Column) -> Column:
 
 def keep_span_pred(s: Column) -> Column:
     """True for spans that survive main-content extraction."""
-    nonblank = s["text"].isNotNull() & (F.trim(s["text"]) != "")
+    # contains-a-non-ws-char == trim(text) != '', without the trim allocation
+    nonblank = s["text"].isNotNull() & s["text"].rlike(r"[^ \t\n\r]")
     return (s["kind"] == "media") | (
         (s["kind"] == "text") & nonblank & ~is_boilerplate_text_col(s["text"])
     )
@@ -103,6 +119,29 @@ def context_text_col(extracted: Column) -> Column:
         lambda s: s["text"],
     )
     return F.array_join(texts, " ")
+
+
+def checksum_spans_col(extracted: Column) -> Column:
+    """Order-sensitive 64-bit checksum of a span sequence WITHOUT
+    materializing a serialized string: per-span xxhash64 over
+    (position, kind, text, media_ref), folded with xor.
+
+    The serialize-then-hash alternative builds a ~300 KB UTF8 string per
+    mega-doc — measured memory-bandwidth-bound (0.41 scaling efficiency at
+    8→32 cores vs 1.09 for the extraction itself). This fold stays in
+    registers."""
+    per_span = F.transform(
+        extracted,
+        lambda s, i: F.xxhash64(
+            i,
+            s["kind"],
+            F.coalesce(s["text"], F.lit("\x00")),
+            F.coalesce(s["media_ref"], F.lit("\x00")),
+        ),
+    )
+    return F.aggregate(
+        per_span, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
 
 
 def serialize_spans_col(extracted: Column) -> Column:

@@ -100,6 +100,8 @@ def extract_metadata(spans: list[dict]) -> dict:
     year = first(_YEAR)
     publisher = first(_PUBLISHER)
     price = first(_PRICE)
+    all_prices = _PRICE.findall(ctx)  # A9: last match = grand total
+    last_price = all_prices[-1] if all_prices else None
 
     low = ctx.lower()
     genre, best = None, 0
@@ -114,5 +116,6 @@ def extract_metadata(spans: list[dict]) -> dict:
         "year": year,
         "publisher": publisher,
         "price_amount": float(price) if price else None,
+        "last_price_amount": float(last_price) if last_price else None,
         "genre": genre,
     }

@@ -36,7 +36,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import extract_inline, serialize_spans_col
+from ..operators.extract import checksum_spans_col, extract_inline
 
 RESULTS = "results"
 METRICS = "metrics"
@@ -79,7 +79,7 @@ def run_extract_job(
 
     extracted = (
         extract_inline(remaining)
-        .withColumn("checksum", F.xxhash64(serialize_spans_col(F.col("spans"))))
+        .withColumn("checksum", checksum_spans_col(F.col("spans")))
         .withColumn("part_id", F.spark_partition_id())
     )
 

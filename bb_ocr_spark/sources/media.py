@@ -91,6 +91,23 @@ def decode_image(content: bytes):
 # --------------------------------------------------------------------------
 
 
+def load_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """S3 analog: directory of raw files → (path, modificationTime, length,
+    content binary) via Spark's binaryFile source (the cv2.imread/PIL.open
+    replacement at scale — bytes stay on executors)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def b64_content_col(content) -> "Column":  # noqa: F821
+    """F6: binary → base64 data payload (reference b64 data-URL encode,
+    enhanced_extractor.py:801-813)."""
+    return F.base64(content)
+
+
 def generate_media_df(spark, refs_df: DataFrame, max_px: int = 64) -> DataFrame:
     """(media_ref) → full media rows with deterministic fake payloads.
     Distributed via mapInPandas — the binary column is born on executors,
