@@ -51,7 +51,10 @@ def genre_col(ctx: Column) -> Column:
 
 
 def metadata_cols(extracted_spans: Column) -> list[Column]:
-    ctx = context_text_col(extracted_spans)
+    return metadata_cols_from(extracted_spans, context_text_col(extracted_spans))
+
+
+def metadata_cols_from(extracted_spans: Column, ctx: Column) -> list[Column]:
     first_text = F.filter(extracted_spans, lambda s: s["kind"] == "text")
     title = F.try_element_at(first_text, F.lit(1))["text"]
     isbn13 = _first_match(ctx, config.ISBN13_RE)
@@ -75,9 +78,19 @@ def metadata_cols(extracted_spans: Column) -> list[Column]:
 
 
 def extract_metadata_df(documents_interleaved: DataFrame) -> DataFrame:
-    """documents_interleaved → one metadata row per doc (narrow, no shuffle)."""
+    """documents_interleaved → one metadata row per doc (narrow, no shuffle).
+
+    The context string is materialized as its own projection first: the 6+
+    regex families below each embed a reference to it, and expression trees
+    are duplicated at construction time (no CSE across HOF lambdas) — as an
+    attribute it is computed once per doc."""
     extracted = extract_inline(documents_interleaved)
-    return extracted.select("doc_id", *metadata_cols(F.col("spans")))
+    with_ctx = extracted.select(
+        "doc_id", "spans", context_text_col(F.col("spans")).alias("_ctx")
+    )
+    return with_ctx.select(
+        "doc_id", *metadata_cols_from(F.col("spans"), F.col("_ctx"))
+    )
 
 
 def validate_metadata_cols() -> Column:

@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import config
 from ..functions.text import fingerprint_md5_col, tokens_col
+
+MERSENNE31_D = (1 << 31) - 1
 
 
 def normalized_text_col(text: Column) -> Column:
@@ -120,24 +123,43 @@ def minhash_signatures(
     """(id, sig array<long>[num_hashes]) — slot i = min over shingles of
     xxhash64(i || shingle). Pure expressions, narrow.
 
-    Shingles are materialized as their own projection FIRST: embedding the
-    shingle expression inside each of the 64 slot expressions duplicates
-    its tree 64x at construction time (Catalyst does not CSE across HOF
-    lambdas) — observed 520 s vs ~5 s at sf0.1. As a column attribute
-    referenced 64 times, CollapseProject keeps the barrier and shingling
-    runs once per doc."""
+    Two no-CSE-across-HOF-lambdas mitigations (each measured):
+      1. shingles materialized as their own projection (embedding the
+         shingle expression in all slot expressions duplicated its tree
+         64x — 520 s vs 21 s at sf0.1);
+      2. each shingle is hashed ONCE (second projection), and the k slots
+         are affine permutations of that hash — min((a_i*h + b_i) mod
+         2^31-1) — instead of k string-concat+xxhash64 per shingle.
+         Operands stay bounded (h < 2^31, a_i < 2^20) so ANSI-safe."""
+    import random  # noqa: PLC0415
+
+    rng = random.Random(f"minhash:{config.SEED}")
+    params = [
+        (rng.randrange(1, 1 << 20), rng.randrange(0, MERSENNE31_D))
+        for _ in range(num_hashes)
+    ]
     sh_df = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     )
+    h_df = sh_df.select(
+        "id",
+        F.transform(
+            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31).cast("long"))
+        ).alias("hs"),
+    )
 
     def slot(i: int) -> Column:
+        a, b = params[i]
         return F.array_min(
             F.transform(
-                F.col("sh"), lambda s: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s))
+                F.col("hs"),
+                lambda h: F.pmod(
+                    h * F.lit(a).cast("long") + F.lit(b), F.lit(MERSENNE31_D)
+                ),
             )
         )
 
-    return sh_df.select(
+    return h_df.select(
         "id", F.array(*[slot(i) for i in range(num_hashes)]).alias("sig")
     )
 
