@@ -82,7 +82,12 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     )
-    inv = sh.select("id", F.explode("sh").alias("tok"))
+    # shuffle 8-byte shingle hashes, not shingle strings; the shared-shingle
+    # count (and hence the jaccard) is exact unless two distinct shingles of
+    # the same doc pair collide in 64 bits (~#distinct²/2^65 — negligible)
+    inv = sh.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("tok")
+    )
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "tok")

@@ -47,14 +47,24 @@ def _results_root(output_dir: str) -> str:
 
 
 def completed_doc_ids(spark: SparkSession, output_dir: str) -> DataFrame | None:
-    """doc_ids already extracted across ALL committed runs (None if none)."""
+    """doc_ids already extracted across all COMMITTED runs (None if none).
+
+    Only run dirs carrying the job-commit marker (_SUCCESS) count: a run
+    that crashed between task and job commit must look incomplete so its
+    docs are re-extracted, never silently skipped. (With Iceberg this is
+    the snapshot boundary; on plain files the marker plays that role.)"""
     root = _results_root(output_dir)
     if not os.path.isdir(root):  # first run (local FS; catalog check on Iceberg)
         return None
-    try:
-        return spark.read.parquet(root).select("doc_id")
-    except Exception:  # dir exists but holds no readable parquet yet
+    committed = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("run_id=")
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    ]
+    if not committed:
         return None
+    return spark.read.parquet(*committed).select("doc_id")
 
 
 def run_extract_job(
