@@ -60,7 +60,10 @@ def is_boilerplate_text_col(text: Column) -> Column:
 
 
 def normalize_text_col(text: Column) -> Column:
-    return F.regexp_replace(F.trim(text), config.WS_SQUEEZE_RE, " ")
+    # ASCII-ws trim via regex: Spark trim() strips only 0x20, Python
+    # str.strip() is unicode-aware — the frozen rule pins the ASCII set
+    trimmed = F.regexp_replace(text, r"^[ \t\n\r]+|[ \t\n\r]+$", "")
+    return F.regexp_replace(trimmed, config.WS_SQUEEZE_RE, " ")
 
 
 def keep_span_pred(s: Column) -> Column:

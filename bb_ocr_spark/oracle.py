@@ -25,7 +25,7 @@ _NONWS = re.compile(r"[^ \t\n\r]")
 
 def is_boilerplate_text(text: str) -> bool:
     """Link-density + alnum-density main-content classifier (frozen rule)."""
-    tokens = [t for t in _TOKEN_SPLIT.split(text.strip()) if t]
+    tokens = [t for t in _TOKEN_SPLIT.split(text.strip(_ASCII_WS)) if t]
     if not tokens:
         return True
     link = sum(1 for t in tokens if _LINK_TOKEN.match(t))
@@ -36,8 +36,14 @@ def is_boilerplate_text(text: str) -> bool:
     return nonws == 0 or alnum / nonws < config.ALNUM_DENSITY_MIN
 
 
+_ASCII_WS = " \t\n\r"
+
+
 def normalize_text(text: str) -> str:
-    return _WS_SQUEEZE.sub(" ", text.strip())
+    # strip is pinned to ASCII whitespace: Python str.strip() is
+    # unicode-aware while Spark's trim() strips only 0x20 — both sides use
+    # the explicit ASCII set (fuzz-caught divergence on '\t\n')
+    return _WS_SQUEEZE.sub(" ", text.strip(_ASCII_WS))
 
 
 def extract_doc(spans: list[dict]) -> list[tuple[str, str | None, str | None]]:
@@ -49,7 +55,7 @@ def extract_doc(spans: list[dict]) -> list[tuple[str, str | None, str | None]]:
             out.append(("media", None, s["media_ref"]))
         elif kind == "text":
             t = s.get("text")
-            if t is None or not t.strip():
+            if t is None or not t.strip(_ASCII_WS):
                 continue
             if is_boilerplate_text(t):
                 continue

@@ -1,0 +1,130 @@
+"""Property/fuzz tests.
+
+Pure-Python hypothesis properties on the frozen kernels (fast, no Spark),
+plus ONE Spark job over an adversarial string corpus comparing the
+expression classifier/normalizer with the Python oracle (hypothesis driving
+Spark per-example would be pathological; a batch corpus keeps it one job).
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bb_ocr_spark import oracle
+from bb_ocr_spark.operators.layout import xy_cut_order
+from bb_ocr_spark.operators.tokenizer import tokenize_html_oracle
+
+# --------------------------------------------------------------------------
+# pure-python properties
+# --------------------------------------------------------------------------
+
+texts = st.text(
+    alphabet=string.ascii_letters + string.digits + " \t|$.,-:/»[]()#@",
+    max_size=200,
+)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_classifier_total_and_deterministic(t):
+    a = oracle.is_boilerplate_text(t)
+    assert a == oracle.is_boilerplate_text(t)
+    assert isinstance(a, bool)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(t):
+    n = oracle.normalize_text(t)
+    assert oracle.normalize_text(n) == n
+    assert "  " not in n and not n.startswith(" ") and not n.endswith(" ")
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_html_tokenizer_total(h):
+    spans = tokenize_html_oracle(h)
+    # offsets dense + ordered; media refs non-null iff media
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    for s in spans:
+        if s["kind"] == "media":
+            assert s["media_ref"] and s["text"] is None
+        else:
+            assert s["text"] and s["media_ref"] is None
+
+
+regions = st.lists(
+    st.tuples(
+        st.floats(0, 100, allow_nan=False),
+        st.floats(0, 100, allow_nan=False),
+        st.floats(0.1, 30, allow_nan=False),
+        st.floats(0.1, 30, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(regions)
+@settings(max_examples=200, deadline=None)
+def test_xy_cut_is_permutation_and_order_invariant(rs):
+    regs = [
+        {"x0": x, "y0": y, "x1": x + w, "y1": y + h, "text": f"r{i}"}
+        for i, (x, y, w, h) in enumerate(rs)
+    ]
+    out = xy_cut_order(regs)
+    assert sorted(r["text"] for r in out) == sorted(r["text"] for r in regs)
+    shuffled = list(regs)
+    random.Random(0).shuffle(shuffled)
+    assert [r["text"] for r in xy_cut_order(shuffled)] == [r["text"] for r in out]
+
+
+# --------------------------------------------------------------------------
+# one-job Spark-vs-oracle fuzz corpus
+# --------------------------------------------------------------------------
+
+
+def _adversarial_corpus() -> list[str]:
+    rng = random.Random("fuzz:42")
+    alphabet = string.ascii_letters + string.digits + " \t\n\r|$.,-:/»[]()#@"
+    corpus = [
+        "", " ", "\t\n", "|", "| | |", "[nav]", "https://x", "href=y",
+        "a https://x b", "ISBN 978-1-23-45678-9", "$1.50", "...",
+        "é ü ß déjà", "a" * 330, "a" * 331, " lead", "trail ", "a  b   c",
+        "\r\n\t mixed \t ws \n", "»", "> >", "12345", "x|y",
+    ]
+    for _ in range(250):
+        n = rng.randint(1, 120)
+        corpus.append("".join(rng.choice(alphabet) for _ in range(n)))
+    return corpus
+
+
+def test_spark_classifier_matches_oracle_on_fuzz_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.operators.extract import (
+        is_boilerplate_text_col,
+        normalize_text_col,
+    )
+
+    corpus = _adversarial_corpus()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "i int, t string")
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            F.when(
+                F.col("t").rlike(r"[^ \t\n\r]"), is_boilerplate_text_col(F.col("t"))
+            ).alias("boiler"),
+            normalize_text_col(F.col("t")).alias("norm"),
+        ).collect()
+    }
+    for i, t in enumerate(corpus):
+        want_boiler = oracle.is_boilerplate_text(t) if t.strip() else None
+        got = rows[i]
+        assert got["boiler"] == want_boiler, f"{t!r}: {got['boiler']} != {want_boiler}"
+        assert got["norm"] == oracle.normalize_text(t), f"norm mismatch {t!r}"
