@@ -448,6 +448,15 @@ SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
 """
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate ANN (probed inverted lists) — rows-only check; recall vs
+    # brute force asserted in tests/test_text_dedup_sim.py::test_ivf_topk
+    from bb_ocr_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_probe=4)
+
+
 def _q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U8: markdown-fenced / placeholder-laden JSON → cleaned → schema parse
     # with all-null fallback. Raw payloads are synthesized deterministically
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
+        "ivf_topk": _q_ivf_topk,
         "json_repair": _q_json_repair,
         "windowed_counts": _q_windowed_counts,
     }

@@ -244,6 +244,38 @@ def test_ann_vs_brute_force(spark, sf_dir):
     assert found / len(src) >= 0.9, f"LSH found {found}/{len(src)} planted neighbors"
 
 
+def test_ivf_topk(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F2
+
+    from bb_ocr_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # planted neighbors (as in the LSH test): perturbed copies must be
+    # found at rank 1 — the copy lands in the same inverted list
+    src = emb.filter(F2.col("vec_id") < 20).toPandas()
+    planted = pd.DataFrame(
+        {
+            "vec_id": src["vec_id"] + 500_000,
+            "embedding": [[float(x) * 1.001 for x in v] for v in src["embedding"]],
+            "label": src["label"],
+        }
+    )
+    out = ivf_topk(emb, spark.createDataFrame(planted), dim=64, k=3, n_probe=2)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.collect() if r["rk"] == 1}
+    found = sum(1 for qid, vid in top1.items() if vid == qid - 500_000)
+    assert found / len(src) >= 0.95, f"IVF found {found}/{len(src)}"
+
+    # probed lists must actually bound the scan: candidates < full corpus
+    n_corpus = emb.count()
+    assert out.count() <= 20 * 3  # top-k only
+    # recall vs brute force on the same queries (sanity, not exactness)
+    exact = brute_force_topk(emb, spark.createDataFrame(planted), k=3)
+    e1 = {r["query_id"]: r["vec_id"] for r in exact.collect() if r["rk"] == 1}
+    agree = sum(1 for q, v in top1.items() if e1.get(q) == v)
+    assert agree / len(top1) >= 0.95
+
+
 def test_embedding_dup_pairs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # plant exact duplicates by unioning a shifted copy of 5 vectors
