@@ -115,7 +115,10 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
     )
 
 
@@ -244,7 +247,7 @@ def _q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
         F.round(
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_value"),
@@ -314,12 +317,12 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return d.select(
         "doc_id",
-        token_count_col(t).alias("n_tokens_ws"),
-        bpe_ish_token_count_col(t).alias("n_tokens_bpe"),
+        token_count_col(t).cast("bigint").alias("n_tokens_ws"),
+        bpe_ish_token_count_col(t).cast("bigint").alias("n_tokens_bpe"),
         lang_guess_col(t).alias("lang_guess"),
         fingerprint_md5_col(t).alias("fingerprint"),
         *[c for c in quality_cols(t)],
-    ).drop("n_tokens")
+    ).drop("n_tokens").withColumn("n_chars", F.col("n_chars").cast("bigint"))
 
 
 _ORACLE_TEXT_STATS = r"""
@@ -429,7 +432,8 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bb_ocr_spark.operators.similarity import brute_force_topk
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rk", F.col("rk").cast("bigint"))
 
 
 _ORACLE_EMBEDDING_TOPK = """

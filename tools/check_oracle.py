@@ -49,6 +49,11 @@ def main(sf_dir: str) -> int:
             print(f"{name}: FAIL columns {gcols} != {wcols}")
             failures += 1
             continue
+        # dtype drift warning (the driver may compare schemas strictly)
+        for c in gcols:
+            gd, wd = str(got_df[c].dtype), str(want_df[c].dtype)
+            if gd != wd:
+                print(f"{name}: DTYPE {c}: spark={gd} duckdb={wd}")
         if len(got) != len(want):
             print(f"{name}: FAIL rows {len(got)} != {len(want)}")
             failures += 1
