@@ -44,6 +44,12 @@ def get_spark(
         # partition; the 128 default is a 2.5-10x cliff for span assembly
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("BB_OCR_WAREHOUSE", "/tmp/bb_ocr_warehouse"),
+        )
+        # bucketed reads: one task per bucket pairing for co-located joins
+        .config("spark.sql.sources.bucketing.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
