@@ -452,6 +452,94 @@ SELECT query_id, vec_id, cosine, rk FROM ranked WHERE rk <= 5
 """
 
 
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS / left-semi: customers having at least one urgent order
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def _q_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 arg-min/arg-max as first-class aggregates: cheapest and priciest
+    # part per brand (reference cheapest-offer reduce, script.js:218-230)
+    # tie-break must be deterministic across engines: the ordering key is a
+    # zero-padded (price, name) composite string, unique per row
+    p = _t(spark, sf_dir, "part")
+    key = F.format_string("%012.2f|%s", F.col("p_retailprice"), F.col("p_name"))
+    return p.withColumn("_k", key).groupBy("p_brand").agg(
+        F.min_by("p_name", F.col("_k")).alias("cheapest_part"),
+        F.max_by("p_name", F.col("_k")).alias("priciest_part"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+
+
+_ORACLE_MIN_BY = """
+SELECT p_brand,
+       min_by(p_name, printf('%012.2f|%s', p_retailprice, p_name)) AS cheapest_part,
+       max_by(p_name, printf('%012.2f|%s', p_retailprice, p_name)) AS priciest_part,
+       round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price
+FROM part GROUP BY p_brand
+"""
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles per event type (spill-aware exact agg;
+    # approx_percentile is the scale path but is not oracle-comparable)
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sessionization primitive: per-user inter-event gap in seconds
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session
+    # makes the cast an identity)
+    ts = F.col("ts").cast("timestamp")
+    prev = F.lag(ts).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(ts) - F.unix_micros(prev)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+_ORACLE_LAG_LEAD = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate ANN (probed inverted lists) — rows-only check; recall vs
     # brute force asserted in tests/test_text_dedup_sim.py::test_ivf_topk
@@ -566,6 +654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "json_repair": _q_json_repair,
         "windowed_counts": _q_windowed_counts,
+        "semi_join": _q_semi_join,
+        "min_by": _q_min_by,
+        "percentiles": _q_percentiles,
+        "lag_lead": _q_lag_lead,
     }
 
 
@@ -589,4 +681,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "json_repair": _ORACLE_JSON_REPAIR,
         "windowed_counts": _ORACLE_WINDOWED_COUNTS,
+        "semi_join": _ORACLE_SEMI_JOIN,
+        "min_by": _ORACLE_MIN_BY,
+        "percentiles": _ORACLE_PERCENTILES,
+        "lag_lead": _ORACLE_LAG_LEAD,
     }
