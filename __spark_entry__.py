@@ -388,44 +388,106 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "text"),
         threshold=0.05,
         n=3,
+        max_df=256,
     )
 
 
-_ORACLE_NGRAM_JACCARD = """
-WITH sh AS (
+# shared shingle CTEs (tokenization aligned with tokens_col: lower+trim,
+# split on whitespace runs, drop empties); `kept` applies the same
+# document-frequency cap as ngram_jaccard_pairs(max_df=256)
+_SHINGLE_CTES = """
+WITH tk AS (
   SELECT doc_id AS id,
-         list_distinct([array_to_string(toks[i:i+2], ' ')
-                        FOR i IN range(1, greatest(len(toks)-1, 2))]) AS s
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          FOR i IN range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM tk
+), exploded AS (
+  SELECT id, unnest(s) AS shingle FROM sh
+), kept AS (
+  SELECT id, shingle FROM exploded
+  WHERE shingle IN (SELECT shingle FROM exploded
+                    GROUP BY shingle HAVING count(*) <= 256)
+), sized AS (
+  SELECT id, count(*) AS n_sh FROM kept GROUP BY id
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
 )
-SELECT a.id AS id_a, b.id AS id_b,
-       round(len(list_intersect(a.s, b.s)) /
-             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
-FROM sh a JOIN sh b ON a.id < b.id
-WHERE len(list_intersect(a.s, b.s)) /
-      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.05
+"""
+
+_ORACLE_NGRAM_JACCARD = _SHINGLE_CTES + """
+SELECT id_a, id_b,
+       round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM shared
+JOIN sized sa ON sa.id = id_a
+JOIN sized sb ON sb.id = id_b
+WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.05
 """
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-SQL-expressible (seeded xxhash64 signatures) — rows-only check;
-    # exactness vs true Jaccard is covered by tests/test_text_dedup_sim.py
-    from bb_ocr_spark.operators.dedup import minhash_lsh_pairs
+    # LSH candidates re-verified against TRUE Jaccard: oracle-exact because
+    # recall at threshold 0.5 with r=2, bands=32 is 1.0 on this corpus
+    # (deterministic for fixed corpus+seed; miss prob ~1e-4/pair a priori)
+    from bb_ocr_spark.operators.dedup import minhash_lsh_verified_pairs
 
-    return minhash_lsh_pairs(
+    return minhash_lsh_verified_pairs(
         _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "text"),
+        threshold=0.5,
         num_hashes=64,
-        bands=16,
+        bands=32,
     )
+
+
+# exact-Jaccard pairs at the verified threshold, over FULL shingle sets
+# (the LSH query verifies candidates against uncapped true Jaccard)
+_ORACLE_MINHASH_LSH = """
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          FOR i IN range(1, len(t) - 1)])
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM tk
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(len(list_intersect(a.s, b.s)) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE len(list_intersect(a.s, b.s)) /
+      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+"""
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # non-SQL-expressible (xxhash64 bit votes) — rows-only check
-    from bb_ocr_spark.operators.dedup import simhash_col
+    # md5-derived token hashes (not seeded xxhash64) — exactly SQL-checkable
+    from bb_ocr_spark.operators.dedup import simhash_md5_df
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash_col(F.col("text")).alias("simhash")
-    )
+    return simhash_md5_df(_docs(spark, sf_dir))
+
+
+def _oracle_simhash() -> str:
+    from bb_ocr_spark.operators.dedup import simhash_md5_oracle_sql
+
+    return simhash_md5_oracle_sql("documents")
+
+
+_ORACLE_SIMHASH = _oracle_simhash()
 
 
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,12 +603,27 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate ANN (probed inverted lists) — rows-only check; recall vs
-    # brute force asserted in tests/test_text_dedup_sim.py::test_ivf_topk
-    from bb_ocr_spark.operators.similarity import ivf_topk
+    # IVF over k-means-trained centroids; the oracle retrains the identical
+    # centroid model (shared numpy core, sorted sample) and replays the full
+    # IVF semantics — assignment, n_probe pruning, re-rank — in SQL
+    from bb_ocr_spark.operators.similarity import ivf_topk, train_centroids
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_probe=4)
+    cents = train_centroids(emb, n_centroids=16)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_probe=4,
+        centroids=cents,
+    ).withColumn("rk", F.col("rk").cast("bigint"))
+
+
+def _oracle_ivf() -> str:
+    from bb_ocr_spark.operators.similarity import ivf_oracle_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return ivf_oracle_sql(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        n_centroids=16, n_probe=4, k=5, max_query_id=10,
+    )
 
 
 def _q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,8 +753,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _ORACLE_TEXT_STATS,
         "exact_dedup": _ORACLE_EXACT_DEDUP,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
-        # minhash_lsh, simhash: seeded-hash ops, not SQL-expressible —
-        # driver records rows-only; exactness covered in tests/
+        "minhash_lsh": _ORACLE_MINHASH_LSH,
+        "simhash": _ORACLE_SIMHASH,
+        "ivf_topk": _oracle_ivf(),
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "json_repair": _ORACLE_JSON_REPAIR,
         "windowed_counts": _ORACLE_WINDOWED_COUNTS,

@@ -60,8 +60,18 @@ def salted_join(
     xxhash64(all fat columns) % n, thin rows are replicated across all n
     salts, and the join runs on (key, salt) — the hot key's rows spread
     over n reducers instead of one. Result equals fat.join(thin, key, how)
-    (asserted in tests); thin-side duplication costs n× the THIN side
-    only, which is the correct trade when fat >> thin on hot keys."""
+    for fat-side-preserving joins only (asserted in tests): because the
+    thin side is exploded across all n salts, a right/full outer join would
+    emit every unmatched thin row n times, so those modes are rejected.
+    Thin-side duplication costs n× the THIN side only, which is the correct
+    trade when fat >> thin on hot keys."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — thin-side salt "
+            "explosion duplicates unmatched thin rows under right/full outer"
+        )
     fat_s = fat.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fat.columns]), F.lit(n_salts))
     )

@@ -75,10 +75,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = 256,
 ) -> DataFrame:
     """EXACT near-dup pairs (a < b) with Jaccard >= threshold over word
     n-gram shingle sets. Candidates via inverted index on shingles —
-    only ids+shingle keys shuffle, pairs dedup via groupBy."""
+    only ids+shingle keys shuffle, pairs dedup via groupBy.
+
+    max_df — document-frequency cap: a shingle present in k docs emits
+    k(k-1)/2 candidate rows from the self-join, so one boilerplate shingle
+    with k=10^6 is a 10^12-row join output. Shingles with df > max_df carry
+    ~no Jaccard signal and are dropped from BOTH sets before pairing; the
+    Jaccard is then exact over the capped shingle sets (the hot set is tiny
+    by construction and broadcast for the anti-join). max_df=None disables
+    the cap (fully exact, unsafe on corpora with hot shingles)."""
     sh = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     )
@@ -88,6 +97,18 @@ def ngram_jaccard_pairs(
     inv = sh.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("tok")
     )
+    if max_df is not None:
+        hot = (
+            inv.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("tok")
+        )
+        inv = inv.join(F.broadcast(hot), "tok", "left_anti")
+        # set sizes over the CAPPED sets so the ratio stays a true Jaccard
+        sized = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    else:
+        sized = sh.select("id", F.size("sh").alias("n_sh"))
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "tok")
@@ -95,20 +116,16 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
     )
-    sized = sh.select("id", F.size("sh").alias("n_sh"))
+    # filter on the UNROUNDED ratio (rounding first would admit pairs the
+    # oracle rejects, e.g. 0.0499996 -> 0.05); round only for display
+    jacc = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
     out = (
         pairs.join(sized.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sized.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(jacc >= threshold)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
     )
     return out
 
@@ -219,6 +236,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     engine: str = "pandas",
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Candidate pairs (a < b) whose signatures collide in >= 1 LSH band,
     with the estimated Jaccard (signature agreement rate). rows = bands
@@ -226,7 +244,14 @@ def minhash_lsh_pairs(
 
     engine='pandas' (Arrow/numpy, default — 6x faster measured: the 64
     interpreted affine ops per shingle dominate the expr form) or 'expr'
-    (pure JVM expressions, no Python workers)."""
+    (pure JVM expressions, no Python workers).
+
+    max_bucket — bucket-size cap: a degenerate bucket with k members (e.g.
+    empty-text docs sharing a signature) emits k(k-1)/2 pairs from the
+    self-join; buckets larger than max_bucket are dropped before pairing
+    (the hot-bucket set is tiny and broadcast). A real near-dup CLUSTER of
+    size > max_bucket keeps its pairs only through its other bands, so size
+    the cap above the largest expected dup cluster. None disables."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     if engine == "pandas":
@@ -256,6 +281,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -279,6 +312,48 @@ def minhash_lsh_pairs(
         6,
     )
     return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "pandas",
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """LSH candidates re-verified against the TRUE shingle Jaccard: pairs
+    (a < b) that collide in >= 1 band AND have exact Jaccard >= threshold.
+
+    This is the production near-dup shape (sub-quadratic candidate
+    generation, exact verification of the tiny candidate set) and it is
+    oracle-checkable: if LSH recall at `threshold` is 1.0 on a corpus, the
+    output equals the full exact-Jaccard pair set, which ANSI SQL can
+    recompute without knowing the seeded hash family. With r = num_hashes /
+    bands rows per band, a true pair at jaccard j is missed with prob
+    (1-j^r)^bands — r=2, bands=32 at j=0.5 → 0.75^32 ≈ 1e-4 per pair, and
+    the check is deterministic for a fixed corpus + seed."""
+    cand = minhash_lsh_pairs(
+        df, num_hashes, bands, n, id_col, text_col, engine, max_bucket
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    )
+    hs = sh.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    j = cand.join(
+        hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    jacc = inter.cast("double") / union
+    return j.filter(jacc >= threshold).select(
+        "id_a", "id_b", F.round(jacc, 6).alias("jaccard")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -309,3 +384,69 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def _simhash_from_hashes(hashes: Column, n: Column, bits: int) -> Column:
+    """Majority-vote SimHash given a materialized array of token hashes."""
+
+    def bit(i: int) -> Column:
+        ones = F.size(
+            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    expr = F.lit(0).cast("long")
+    for i in range(bits):
+        expr = expr + F.shiftleft(bit(i), i)
+    return expr
+
+
+def simhash_md5_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """(id, simhash) with the token-hash family = first 15 hex chars of
+    md5(token) as a 60-bit integer — md5 is identical in Spark and ANSI
+    SQL engines, so unlike the seeded-xxhash64 variant this fingerprint is
+    exactly reproducible by a SQL oracle (see __spark_entry__.simhash).
+
+    The token-hash array is materialized as its own projection first:
+    expression trees are duplicated at construction time (no CSE across
+    HOF lambdas), so embedding the md5 transform in all `bits` vote
+    expressions would evaluate it `bits` times per doc."""
+    assert bits <= 60  # 15 hex chars
+    toks = tokens_col(F.col(text_col))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    hdf = df.select(F.col(id_col).alias(id_col), hs.alias("_hs"))
+    out = _simhash_from_hashes(F.col("_hs"), F.size("_hs"), bits)
+    return hdf.select(id_col, out.alias("simhash"))
+
+
+def simhash_md5_oracle_sql(table: str = "documents", bits: int = 60) -> str:
+    """DuckDB SQL recomputing simhash_md5_df exactly (generated: 60 bit
+    votes over md5-derived token hashes; hex→int via positional digit
+    weights since DuckDB lacks a hex-string→integer cast)."""
+    digit_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(t), {p + 1}, 1)) - 1) * "
+        f"{16 ** (14 - p)}"
+        for p in range(15)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {i}) & 1) = 1)) "
+        f">= len(hs) THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM {table}
+), hashed AS (
+  SELECT doc_id, list_transform(toks, t -> {digit_terms}) AS hs FROM base
+)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed
+"""

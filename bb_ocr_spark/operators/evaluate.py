@@ -40,8 +40,15 @@ def field_match_report(
     aggs = [F.count("*").alias("n")]
     for f in fields:
         both_null = F.col(f).isNull() & F.col(f"g_{f}").isNull()
-        exact = both_null | (F.col(f) == F.col(f"g_{f}"))
-        fuzzy = both_null | (_similarity(F.col(f), F.col(f"g_{f}")) >= fuzzy_min)
+        # one-sided NULLs make `a == b` SQL-NULL, which F.avg would silently
+        # DROP from the denominator (inflating the rate); coalesce to False
+        # so a missing field vs a present golden value counts as a miss and
+        # exact/fuzzy share the same denominator
+        exact = F.coalesce(both_null | (F.col(f) == F.col(f"g_{f}")), F.lit(False))
+        fuzzy = F.coalesce(
+            both_null | (_similarity(F.col(f), F.col(f"g_{f}")) >= fuzzy_min),
+            F.lit(False),
+        )
         aggs.append(F.round(F.avg(exact.cast("double")), 6).alias(f"{f}_exact"))
         aggs.append(F.round(F.avg(fuzzy.cast("double")), 6).alias(f"{f}_fuzzy"))
     return j.groupBy().agg(*aggs)

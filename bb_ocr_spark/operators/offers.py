@@ -111,13 +111,35 @@ def _jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
-def candidate_pairs_by_token(meta: DataFrame, offers: DataFrame) -> DataFrame:
+def candidate_pairs_by_token(
+    meta: DataFrame, offers: DataFrame, max_df: int | None = 1024
+) -> DataFrame:
     """J4 candidates via inverted index: (doc_id, listing_id) pairs sharing
-    at least one non-stopword title token."""
+    at least one non-stopword title token.
+
+    max_df — frequency cap on join tokens: a token in k_m metadata titles
+    and k_o offer titles emits k_m*k_o candidate rows, so one generic word
+    ("introduction") past the stopword list recreates the quadratic blowup
+    at scale. Tokens whose combined frequency exceeds max_df are dropped
+    from candidate GENERATION only (the hot set is tiny and broadcast);
+    the downstream Jaccard is still computed over the full token sets, so
+    a surviving pair's score is unchanged — only pairs whose EVERY shared
+    token is hot are lost, and those are ~never >= 0.5 Jaccard matches."""
     m = meta.select("doc_id", title_tokens(F.col("title")).alias("m_toks"))
     o = offers.select("listing_id", title_tokens(F.col("title")).alias("o_toks"))
     m_tok = m.select("doc_id", "m_toks", F.explode("m_toks").alias("tok"))
     o_tok = o.select("listing_id", "o_toks", F.explode("o_toks").alias("tok"))
+    if max_df is not None:
+        hot = (
+            m_tok.select("tok")
+            .unionByName(o_tok.select("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("tok")
+        )
+        m_tok = m_tok.join(F.broadcast(hot), "tok", "left_anti")
+        o_tok = o_tok.join(F.broadcast(hot), "tok", "left_anti")
     return (
         m_tok.join(o_tok, "tok")
         .groupBy("doc_id", "listing_id")  # distinct pairs; keeps token arrays

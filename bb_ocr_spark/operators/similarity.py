@@ -12,10 +12,12 @@ Two tiers:
   lsh_topk           random-hyperplane LSH: P deterministic hyperplanes
                      (seeded numpy, materialized once on the driver and
                      broadcast) → P-bit signature → candidates = corpus
-                     rows sharing a signature bucket (multi-probe via
-                     rotated bands) → exact cosine re-rank within
-                     candidates. Sub-linear scan at scale; recall measured
-                     in tests, not assumed.
+                     rows sharing a probed bucket (multi-probe: the query
+                     also probes buckets reached by flipping its
+                     smallest-margin signature bits) → exact cosine
+                     re-rank within candidates. Sub-linear scan at scale;
+                     recall measured in tests at two probe counts, not
+                     assumed.
 
   embedding_dup_pairs  near-duplicate pairs via the same LSH bucketing
                      (self-join on bucket), exact-cosine verified.
@@ -121,6 +123,40 @@ def signature_col(vec: Column, planes) -> Column:
     return out
 
 
+def _plane_dots_col(vec: Column, planes) -> Column:
+    """array<double> of dot(vec, plane_p) for every hyperplane."""
+
+    def plane_dot(plane) -> Column:
+        lit_plane = F.lit(plane.tolist())
+        return F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double")
+                * F.element_at(lit_plane, i.cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array(*[plane_dot(p) for p in planes])
+
+
+def _sig_from_dots(dots: Column, n_planes: int) -> Column:
+    """packed signature: bit p set iff dots[p] >= 0."""
+    powers = F.lit([1 << p for p in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            powers,
+            lambda d, w: F.when(d >= 0, w.cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def with_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -138,30 +174,54 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 10,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank within shared LSH buckets.
-    Candidate set = corpus rows in the query's bucket (single-probe)."""
+    """Approximate top-k: exact cosine re-rank within probed LSH buckets.
+
+    Multi-probe: besides its own bucket, each query probes the n_probe-1
+    buckets obtained by flipping the signature bit whose hyperplane margin
+    |dot| is smallest — the buckets a true neighbor most likely landed in
+    when it fell just on the other side of a plane. Probing multiplies only
+    the QUERY side (n_probe rows per query before the join); the corpus is
+    bucketed once. Recall vs n_probe is measured in tests, not assumed."""
     from pyspark.sql import Window
 
-    c = with_lsh_buckets(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
-        dim,
-        n_planes,
-        "c_vec",
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", signature_col(F.col("c_vec"), planes))
+    # dots materialized as a column: sig + margins both reference it, and
+    # expression trees duplicate at construction time (no CSE across HOFs)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("_dots", _plane_dots_col(F.col("q_vec"), planes))
+    sig = _sig_from_dots(F.col("_dots"), n_planes)
+    powers = F.lit([1 << p for p in range(n_planes)])
+    # planes ordered by |margin| ascending; flip the closest n_probe-1
+    margins = F.array_sort(
+        F.zip_with(
+            F.col("_dots"),
+            powers,
+            lambda d, w: F.struct(F.abs(d).alias("m"), w.cast("long").alias("w")),
+        )
     )
-    q = with_lsh_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        dim,
-        n_planes,
-        "q_vec",
+    flips = F.transform(
+        F.slice(margins, 1, max(n_probe - 1, 0)),
+        lambda s: F.col("_sig").bitwiseXOR(s["w"]),
+    )
+    q = (
+        q.withColumn("_sig", sig)
+        .withColumn("bucket", F.explode(F.concat(F.array(F.col("_sig")), flips)))
+        .select("query_id", "q_vec", "bucket")
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "vec_id", "cosine")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
@@ -206,19 +266,78 @@ def _centroids(dim: int, n_centroids: int, seed: int = config.SEED):
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = config.SEED,
+):
+    """Spherical k-means centroids from a bounded, seeded corpus sample.
+
+    The sample is capped driver-side (at 100 TB the equivalent is a
+    `sample(fraction).limit(cap)` collect of a few thousand vectors — the
+    centroid model is tiny and training it on a sample is the standard IVF
+    recipe; a fully-distributed k-means|| would only change WHO computes
+    the same few-KB model). Deterministic: fixed seed, fixed iteration
+    count, sample = first sample_cap rows by id (a Spark `limit` on a
+    multi-file read has no stable order; sorting pins the sample so any
+    reader — Spark here, pyarrow in the SQL-oracle generator — trains the
+    bit-identical model)."""
+    import numpy as np  # noqa: PLC0415
+
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .toPandas()
+    )
+    x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    return kmeans_numpy(x, n_centroids, iters, seed)
+
+
+def kmeans_numpy(x, n_centroids: int, iters: int = 10, seed: int = config.SEED):
+    """Deterministic spherical-k-means core shared by train_centroids and
+    the SQL-oracle generator (both must produce bit-identical centroids)."""
+    import numpy as np  # noqa: PLC0415
+
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed + 2)
+    cents = x[rng.choice(len(x), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
 def _centroid_scores_col(vec: Column, cents) -> Column:
-    """array<struct<cos,idx>> of cosine vs every centroid (norm of vec
-    cancels in ranking, so plain dots rank identically)."""
+    """array<struct<cos,idx>> of dot vs every centroid (norm of vec cancels
+    in ranking, so plain dots rank identically). Dots are rounded to 9
+    decimals so list assignment / probe order is reproducible across
+    engines with different float summation orders (a SQL oracle's
+    list_dot_product need not match Spark's fold bit-for-bit)."""
 
     def dot(cent) -> Column:
         lit_c = F.lit(cent.tolist())
-        return F.aggregate(
-            F.transform(
-                vec,
-                lambda x, i: x.cast("double") * F.element_at(lit_c, i.cast("int") + 1),
+        return F.round(
+            F.aggregate(
+                F.transform(
+                    vec,
+                    lambda x, i: x.cast("double")
+                    * F.element_at(lit_c, i.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            9,
         )
 
     return F.array(
@@ -238,16 +357,18 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF-style ANN: corpus rows are assigned to their nearest (by dot)
-    of n_centroids fixed unit centroids (inverted lists = hash partitions
-    on list id); each query probes its n_probe nearest lists and exact
+    of n_centroids unit centroids (inverted lists = hash partitions on
+    list id); each query probes its n_probe nearest lists and exact
     cosine re-ranks within them. Scan cost drops to ~n_probe/n_centroids
-    of the corpus. Centroids are seeded-random unit vectors — at real
-    scale they would come from a k-means sample, same plan."""
+    of the corpus. Pass `centroids` from train_centroids() (spherical
+    k-means on a corpus sample — the production recipe); default falls
+    back to seeded-random unit vectors (same plan, worse recall)."""
     from pyspark.sql import Window
 
-    cents = _centroids(dim, n_centroids)
+    cents = _centroids(dim, n_centroids) if centroids is None else centroids
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     c = c.withColumn(
         "list_id", F.array_max(_centroid_scores_col(F.col("c_vec"), cents))["idx"]
@@ -275,6 +396,72 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+def ivf_oracle_sql(
+    parquet_path: str,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    max_query_id: int = 10,
+    table: str = "embeddings",
+    sample_cap: int = 4096,
+    seed: int = config.SEED,
+) -> str:
+    """DuckDB SQL recomputing ivf_topk EXACTLY: the k-means centroids are
+    retrained here (pyarrow read, same sorted sample + kmeans_numpy as
+    train_centroids — bit-identical model) and folded into the SQL as
+    literals; list assignment, probe selection, and re-rank mirror the
+    Spark expressions including tie-breaks (argmax ties → highest centroid
+    index; probe order (dot desc, index desc)) and the round-9 dot
+    stabilization. A green driver row therefore verifies the whole IVF
+    operator — assignment, n_probe pruning, exact re-rank — not just its
+    output shape."""
+    import pandas as pd  # noqa: PLC0415
+    import numpy as np  # noqa: PLC0415
+
+    pdf = (
+        pd.read_parquet(parquet_path, columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(sample_cap)
+    )
+    x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    cents = kmeans_numpy(x, n_centroids, seed=seed)
+    ds_terms = ", ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(v)) for v in c)
+        + "]), 9)"
+        for c in cents
+    )
+    idxs = ", ".join(str(i) for i in range(n_centroids))
+    return f"""
+WITH dots AS (
+  SELECT vec_id, embedding, [{ds_terms}] AS ds FROM {table}
+), assigned AS (
+  SELECT vec_id, embedding,
+         {n_centroids} - list_position(list_reverse(ds), list_max(ds)) AS list_id
+  FROM dots
+), q_probe AS (
+  SELECT query_id, qv, i AS list_id
+  FROM (SELECT vec_id AS query_id, embedding AS qv,
+               unnest(ds) AS d, unnest([{idxs}]) AS i
+        FROM dots WHERE vec_id < {max_query_id})
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d DESC, i DESC)
+          <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM q_probe p
+  JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
 
 
 def pandas_cosine_topk(

@@ -56,10 +56,16 @@ def prepare(spark) -> tuple[str, str]:
     return spans_path, html_path
 
 
-def timed(fn) -> float:
-    t0 = time.monotonic()
-    fn()
-    return round(time.monotonic() - t0, 3)
+def timed(fn, repeats: int = 2) -> float:
+    """min-of-N wall time: the first run pays cold OS page cache + JIT, so
+    a single sample is hostage to 2-6x measured host noise (BENCH/
+    BASELINE.md); the min is the reproducible number."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -91,12 +97,17 @@ def main() -> None:
         ).collect()
     )
 
-    # relational workloads: every driver-contract query at SF_DIR
+    # relational workloads: every driver-contract query at SF_DIR.
+    # bit_xor(xxhash64(struct(*))) forces evaluation of EVERY output column
+    # — count(*) would let Catalyst prune projection-only queries down to a
+    # bare parquet scan and time nothing but IO
     import __spark_entry__ as E
 
     for name, fn in E.queries().items():
         df = fn(spark, SF_DIR)
-        q[name] = timed(lambda df=df: df.selectExpr("count(*)").collect())
+        q[name] = timed(
+            lambda df=df: df.selectExpr("bit_xor(xxhash64(struct(*)))").collect()
+        )
 
     total = round(sum(q.values()), 3)
     docs_per_sec = round(N_DOCS / q["extract_inline"], 1)

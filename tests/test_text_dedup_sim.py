@@ -290,3 +290,163 @@ def test_embedding_dup_pairs(spark, sf_dir):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for i in range(5):
         assert (i, i + 100000) in found
+
+
+# --------------------------------------------------------------------------
+# hot-key caps (frequent-shingle / degenerate-bucket quadratic blowup)
+# --------------------------------------------------------------------------
+
+
+def py_capped_jaccard_pairs(corpus, threshold, max_df, n=3):
+    """python reference for ngram_jaccard_pairs(max_df=...): jaccard over
+    shingle sets with document-frequency > max_df shingles removed."""
+    from collections import Counter
+
+    sh = {i: py_shingles(t, n) for i, t in corpus}
+    df = Counter(s for ss in sh.values() for s in ss)
+    kept = {i: {s for s in ss if df[s] <= max_df} for i, ss in sh.items()}
+    out = {}
+    ids = [i for i, _ in corpus]
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sorted((ids[x], ids[y]))
+            ka, kb = kept[a], kept[b]
+            if not (ka & kb):
+                continue
+            j = len(ka & kb) / len(ka | kb)
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_hot_shingle_df_cap(spark):
+    # one boilerplate sentence shared by EVERY doc: uncapped, its shingles
+    # alone emit n(n-1)/2 candidate pairs from the inverted-index self-join
+    # (the 10^12-row failure mode at corpus scale). With the df cap the hot
+    # shingles never reach the join, and the planted near-dups — which
+    # share RARE shingles — are still found with the exact capped jaccard.
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = []
+    for i in range(300):
+        rows.append((f"u{i:03d}", f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d"))
+    # planted near-dup pairs with rare shared content
+    for i in range(3):
+        body = " ".join(f"rare{i}w{j}" for j in range(10))
+        rows.append((f"pa{i}", body + " tail one"))
+        rows.append((f"pb{i}", body + " tail two"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.2, max_df=64).collect()
+    }
+    want = py_capped_jaccard_pairs(rows, threshold=0.2, max_df=64)
+    assert got == want
+    for i in range(3):
+        assert (f"pa{i}", f"pb{i}") in got  # planted pairs survive the cap
+    # nothing pairs through the boilerplate-only overlap
+    assert not any(a.startswith("u") or b.startswith("u") for a, b in got)
+
+
+def test_lsh_bucket_cap(spark):
+    from bb_ocr_spark.operators.dedup import minhash_lsh_verified_pairs
+
+    # 300 docs with IDENTICAL text collide in every band: one degenerate
+    # bucket per band with 300 members -> 300*299/2 pairs per band uncapped.
+    # With max_bucket=64 those buckets are dropped; a planted normal
+    # near-dup pair must still come through its (small) buckets.
+    rows = [(f"z{i:03d}", "same same same same same") for i in range(300)]
+    body = " ".join(f"pw{j}" for j in range(12))
+    rows.append(("pa", body + " end one"))
+    rows.append(("pb", body + " end two"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, max_bucket=64).collect()
+    }
+    assert ("pa", "pb") in pairs
+    assert not any(a.startswith("z") for a, _ in pairs)
+    # verified tier: same planted pair, true-jaccard filtered
+    ver = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_verified_pairs(df, threshold=0.5, max_bucket=64).collect()
+    }
+    assert ver == {("pa", "pb")}
+
+
+def test_minhash_verified_pairs_exact(spark):
+    # the oracle-gate contract: LSH candidates verified against true
+    # jaccard must equal the full exact pair set (recall 1.0) on a corpus
+    # of planted near-dups at threshold 0.5 with r=2, bands=32
+    from bb_ocr_spark.operators.dedup import minhash_lsh_verified_pairs
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        rows.append((f"o{i}", f"{base} variant {i} " + " ".join(f"w{i}_{j}" for j in range(6))))
+        rows.append((f"c{i}", f"{base} variant {i} " + " ".join(f"w{i}_{j}" for j in range(5)) + " changed"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_df=None).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_verified_pairs(
+            df, threshold=0.5, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert got == exact
+
+
+def test_simhash_md5_matches_python(spark, corpus_df):
+    import hashlib
+
+    from bb_ocr_spark.operators.dedup import simhash_md5_df
+
+    def py_simhash(text, bits=60):
+        toks = text.lower().split()
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        v = 0
+        for i in range(bits):
+            ones = sum(1 for h in hs if (h >> i) & 1)
+            if 2 * ones >= len(hs):
+                v |= 1 << i
+        return v
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_md5_df(corpus_df).collect()}
+    for did, text in CORPUS:
+        assert got[did] == py_simhash(text), did
+
+
+def test_lsh_multiprobe_recall(spark, sf_dir):
+    # perturbations large enough that some queries flip a hyperplane sign:
+    # multi-probe (flip smallest-margin bits) must dominate single-probe
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") < 40).toPandas()
+    rng = np.random.RandomState(7)
+
+    def perturb(v):
+        a = np.asarray(v, dtype="float64")
+        return list(a + 0.12 * np.linalg.norm(a) / 8 * rng.randn(len(a)))
+
+    planted = pd.DataFrame(
+        {
+            "vec_id": src["vec_id"] + 500_000,
+            "embedding": [perturb(v) for v in src["embedding"]],
+            "label": src["label"],
+        }
+    )
+    q_df = spark.createDataFrame(planted)
+
+    def recall(n_probe):
+        out = lsh_topk(emb, q_df, dim=64, k=1, n_planes=10, n_probe=n_probe)
+        top1 = {r["query_id"]: r["vec_id"] for r in out.collect() if r["rk"] == 1}
+        return sum(1 for q, v in top1.items() if v == q - 500_000) / len(src)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.95, f"multi-probe recall {r4} (single-probe {r1})"
