@@ -705,6 +705,168 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_extract_metadata_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U9/U10 full 16-field schema (enhanced_extractor.py:57-92 analog) over
+    # a deterministic synthesized listing payload — every field class is
+    # exercised, not NULL-matched. Context materialized once (no CSE
+    # across the ~20 regex families otherwise).
+    from bb_ocr_spark.functions.metadata_full import (
+        metadata_full_cols,
+        synth_listing_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    ctx_df = d.select(
+        "doc_id", synth_listing_col(F.col("doc_id"), F.col("text")).alias("_ctx")
+    )
+    return ctx_df.select("doc_id", *metadata_full_cols(F.col("_ctx")))
+
+
+def _oracle_metadata_full() -> str:
+    from bb_ocr_spark.functions.metadata_full import metadata_full_oracle_sql
+
+    return metadata_full_oracle_sql("documents")
+
+
+def _q_currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3 locale-aware numeric + currency parse (abebooks_html.py:19-91
+    # semantics) over synthesized price strings covering decimal-comma,
+    # decimal-point, grouping-space, word-currency, and unparseable cases
+    from bb_ocr_spark.functions.numeric import currency_code, parse_locale_number
+
+    d = F.col("doc_id").cast("long")
+    cents = F.lpad((d % 100).cast("string"), 2, "0")
+    big = (d % 900 + 100).cast("string")
+    raw = (
+        F.when(d % 8 == 0, F.concat(F.lit("€1."), big, F.lit(","), cents))
+        .when(d % 8 == 1, F.concat(F.lit("$1,"), big, F.lit("."), cents))
+        .when(d % 8 == 2, F.concat((d % 90 + 10).cast("string"), F.lit(","), cents))
+        .when(d % 8 == 3, F.concat(F.lit("US$ 1 "), big, F.lit(","), cents))
+        .when(d % 8 == 4, F.concat((d % 90 + 10).cast("string"), F.lit(" dollars")))
+        .when(d % 8 == 5, F.concat(F.lit("about "), (d % 50).cast("string"), F.lit(" euros each")))
+        .when(d % 8 == 6, F.lit("no price listed"))
+        .otherwise(F.concat(F.lit("¥"), (d % 9000 + 1000).cast("string")))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        raw.alias("raw"),
+        parse_locale_number(raw).alias("amount"),
+        currency_code(raw).alias("currency"),
+    )
+
+
+def _oracle_currency_parse() -> str:
+    from bb_ocr_spark.functions.numeric import (
+        currency_code_sql,
+        parse_locale_number_sql,
+    )
+
+    synth = """CASE
+      WHEN doc_id % 8 = 0 THEN '€1.' || CAST(doc_id % 900 + 100 AS VARCHAR)
+           || ',' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      WHEN doc_id % 8 = 1 THEN '$1,' || CAST(doc_id % 900 + 100 AS VARCHAR)
+           || '.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      WHEN doc_id % 8 = 2 THEN CAST(doc_id % 90 + 10 AS VARCHAR)
+           || ',' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      WHEN doc_id % 8 = 3 THEN 'US$ 1 ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+           || ',' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      WHEN doc_id % 8 = 4 THEN CAST(doc_id % 90 + 10 AS VARCHAR) || ' dollars'
+      WHEN doc_id % 8 = 5 THEN 'about ' || CAST(doc_id % 50 AS VARCHAR) || ' euros each'
+      WHEN doc_id % 8 = 6 THEN 'no price listed'
+      ELSE '¥' || CAST(doc_id % 9000 + 1000 AS VARCHAR) END"""
+    return f"""
+WITH r AS (SELECT doc_id, {synth} AS raw FROM documents)
+SELECT doc_id, raw,
+       {parse_locale_number_sql('raw')} AS amount,
+       {currency_code_sql('raw')} AS currency
+FROM r
+"""
+
+
+def _synth_offer_html_col() -> DataFrame:
+    """markup synthesis column: doc_id%3+1 offer rows per doc plus an ad
+    row the selector must ignore; prices cycle currency symbol and the
+    year cell tracks (doc_id+i)%70."""
+    d = F.col("doc_id").cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), d % 3)
+
+    def row(i: F.Column) -> F.Column:
+        sym = (
+            F.when((d + i) % 3 == 0, F.lit("$"))
+            .when((d + i) % 3 == 1, F.lit("€"))
+            .otherwise(F.lit("£"))
+        )
+        return F.concat(
+            F.lit('<tr class="offer"><td class="title"><a href="https://ex.com/l'),
+            d.cast("string"), F.lit("_"), i.cast("string"),
+            F.lit('">Offer '), i.cast("string"), F.lit(" of Doc "), d.cast("string"),
+            F.lit('</a></td><td class="price">'),
+            sym, ((d * 7 + i) % 90 + 10).cast("string"),
+            F.lit("."), F.lpad(((d + i) % 100).cast("string"), 2, "0"),
+            F.lit('</td><td class="year">'),
+            (F.lit(1950) + (d + i) % 70).cast("string"),
+            F.lit("</td></tr>"),
+        )
+
+    return F.concat(
+        F.lit('<div><tr class="ad"><td class="price">$999.99</td></tr>'),
+        F.array_join(F.transform(idx, row), ""),
+        F.lit("</div>"),
+    )
+
+
+def _q_parse_offers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6 offer-row selector parse over synthesized search-result markup:
+    # block regex -> field regexes -> locale price parse -> posexplode
+    from bb_ocr_spark.operators.offers_html import parse_offer_rows
+
+    d = _docs(spark, sf_dir).select("doc_id", _synth_offer_html_col().alias("html"))
+    return parse_offer_rows(d)
+
+
+def _oracle_parse_offers() -> str:
+    from bb_ocr_spark.functions.numeric import (
+        currency_code_sql,
+        parse_locale_number_sql,
+    )
+
+    synth = """'<div><tr class="ad"><td class="price">$999.99</td></tr>'
+      || array_to_string(list_transform(range(doc_id % 3 + 1), i ->
+           '<tr class="offer"><td class="title"><a href="https://ex.com/l'
+           || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+           || '">Offer ' || CAST(i AS VARCHAR) || ' of Doc ' || CAST(doc_id AS VARCHAR)
+           || '</a></td><td class="price">'
+           || (CASE WHEN (doc_id + i) % 3 = 0 THEN '$'
+                    WHEN (doc_id + i) % 3 = 1 THEN chr(8364) ELSE chr(163) END)
+           || CAST((doc_id * 7 + i) % 90 + 10 AS VARCHAR)
+           || '.' || lpad(CAST((doc_id + i) % 100 AS VARCHAR), 2, '0')
+           || '</td><td class="year">' || CAST(1950 + (doc_id + i) % 70 AS VARCHAR)
+           || '</td></tr>'), '')
+      || '</div>'"""
+    return f"""
+WITH h AS (SELECT doc_id, {synth} AS html FROM documents),
+blocks AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '<tr class="offer">(.*?)</tr>', 1) AS rs
+  FROM h
+), ex AS (
+  SELECT doc_id, unnest(range(len(rs))) AS pos, unnest(rs) AS r FROM blocks
+), cells AS (
+  SELECT doc_id, pos,
+    nullif(regexp_extract(r, '<td class="title"><a href="[^"]*">([^<]*)</a>', 1), '') AS title,
+    nullif(regexp_extract(r, 'href="([^"]*)"', 1), '') AS url,
+    nullif(regexp_extract(r, '<td class="price">([^<]*)</td>', 1), '') AS price_cell,
+    nullif(regexp_extract(r, '<td class="year">([^<]*)</td>', 1), '') AS year
+  FROM ex
+)
+SELECT doc_id, pos, title, url,
+       {parse_locale_number_sql('price_cell')} AS amount,
+       {currency_code_sql('price_cell')} AS currency,
+       year
+FROM cells
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -735,6 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_by": _q_min_by,
         "percentiles": _q_percentiles,
         "lag_lead": _q_lag_lead,
+        "extract_metadata_full": _q_extract_metadata_full,
+        "currency_parse": _q_currency_parse,
+        "parse_offers": _q_parse_offers,
     }
 
 
@@ -763,4 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "min_by": _ORACLE_MIN_BY,
         "percentiles": _ORACLE_PERCENTILES,
         "lag_lead": _ORACLE_LAG_LEAD,
+        "extract_metadata_full": _oracle_metadata_full(),
+        "currency_parse": _oracle_currency_parse(),
+        "parse_offers": _oracle_parse_offers(),
     }

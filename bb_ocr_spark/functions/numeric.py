@@ -49,6 +49,39 @@ def parse_locale_number(raw: Column) -> Column:
     return norm.try_cast("double")
 
 
+def parse_locale_number_sql(raw: str) -> str:
+    """DuckDB expression mirroring parse_locale_number exactly."""
+    s = f"regexp_replace(trim({raw}), '[^0-9.,-]', '', 'g')"
+    dec = (
+        f"(regexp_matches({s}, ',[0-9]{{1,2}}$') "
+        f"AND NOT regexp_matches({s}, ',[0-9]{{1,2}}\\.[0-9]'))"
+    )
+    return (
+        f"TRY_CAST(CASE WHEN {dec} "
+        f"THEN replace(regexp_replace({s}, '\\.', '', 'g'), ',', '.') "
+        f"ELSE regexp_replace({s}, ',', '', 'g') END AS DOUBLE)"
+    )
+
+
+def currency_code_sql(raw: str) -> str:
+    """DuckDB expression mirroring currency_code: same priority order
+    (longest symbol first, then map order), symbols by contains on the
+    trimmed raw, words by word-boundary match on the lowercase."""
+    ordered = sorted(
+        CURRENCY_MAP.items(),
+        key=lambda kv: (-len(kv[0]), list(CURRENCY_MAP).index(kv[0])),
+    )
+    whens = []
+    for key, code in ordered:
+        if key.isalpha():
+            cond = f"regexp_matches(lower(trim({raw})), '\\b{key}\\b')"
+        else:
+            esc = key.replace("'", "''")
+            cond = f"contains(trim({raw}), '{esc}')"
+        whens.append(f"WHEN {cond} THEN '{code}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
 def currency_code(raw: Column) -> Column:
     """symbol/word → ISO code (NULL if unknown). First match in the raw
     string wins; symbols checked before words."""
