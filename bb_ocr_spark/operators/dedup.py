@@ -69,6 +69,28 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array_distinct(F.array(F.array_join(toks, " "))))
 
 
+def hashed_shingles_col(token_hashes: Column, toks: Column, n: int = 3) -> Column:
+    """distinct 64-bit shingle hashes straight from an array of per-token
+    xxhash64 values — no n-gram STRINGS are ever built (slicing + joining
+    shingle strings costs ~5x the hash-of-n-longs form, A/B-measured 3.9 s
+    vs 0.8 s for the inverted-index scan at sf0.1). Set size and overlap
+    counts equal the string-shingle sets unless two distinct shingles of
+    one doc collide in 64 bits (~#shingles²/2^65 — negligible, same
+    accepted risk as hashing the strings)."""
+    k = F.size(token_hashes) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.xxhash64(
+                    *[F.try_element_at(token_hashes, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.2,
@@ -88,14 +110,16 @@ def ngram_jaccard_pairs(
     Jaccard is then exact over the capped shingle sets (the hot set is tiny
     by construction and broadcast for the anti-join). max_df=None disables
     the cap (fully exact, unsafe on corpora with hot shingles)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+        toks.alias("_tk"),
     )
-    # shuffle 8-byte shingle hashes, not shingle strings; the shared-shingle
-    # count (and hence the jaccard) is exact unless two distinct shingles of
-    # the same doc pair collide in 64 bits (~#distinct²/2^65 — negligible)
-    inv = sh.select(
-        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("tok")
+    # shuffle 8-byte shingle hashes, never shingle strings (and never BUILD
+    # the strings either — see hashed_shingles_col)
+    inv = base.select(
+        "id", F.explode(hashed_shingles_col(F.col("_th"), F.col("_tk"), n)).alias("tok")
     )
     if max_df is not None:
         hot = (
@@ -108,7 +132,9 @@ def ngram_jaccard_pairs(
         # set sizes over the CAPPED sets so the ratio stays a true Jaccard
         sized = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
     else:
-        sized = sh.select("id", F.size("sh").alias("n_sh"))
+        sized = base.select(
+            "id", F.size(hashed_shingles_col(F.col("_th"), F.col("_tk"), n)).alias("n_sh")
+        )
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "tok")
@@ -193,11 +219,12 @@ def minhash_signatures_pandas(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Arrow/numpy variant of minhash_signatures: shingle hashes via crc32,
-    all k slots as one (shingles × k) vectorized affine mod — the
-    interpreted-expression variant evaluates 64 pmods per shingle per doc,
-    this one is a single BLAS-ish broadcast per doc. Same LSH contract
-    (hash family differs; both deterministic at any parallelism)."""
+    """Arrow/numpy variant of minhash_signatures: per-TOKEN crc32 combined
+    into n-gram hashes by a vectorized wrapping-int64 polynomial (shingle
+    strings are never built — building + hashing ~250 trigram strings per
+    doc was the dominant cost), then all k slots as one (shingles × k)
+    affine mod. Same LSH contract (hash family differs from the expr
+    engine; both deterministic at any parallelism)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
     import random  # noqa: PLC0415
@@ -206,21 +233,38 @@ def minhash_signatures_pandas(
     rng = random.Random(f"minhash:{config.SEED}")
     a = np.array([rng.randrange(1, 1 << 20) for _ in range(num_hashes)], dtype=np.int64)
     b = np.array([rng.randrange(0, MERSENNE31_D) for _ in range(num_hashes)], dtype=np.int64)
+    # odd multipliers -> bijective mixing per position under mod 2^64
+    # (wrapping int64 powers, then force odd)
+    with np.errstate(over="ignore"):
+        coef = np.ones(n, dtype=np.int64)
+        for j in range(1, n):
+            coef[j] = coef[j - 1] * np.int64(1000003)
+        coef = coef | np.int64(1)
 
     def run(batches):
-        for pdf in batches:
-            ids, sigs = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).lower().split()
-                if len(toks) < n:
-                    sh = [" ".join(toks)]
-                else:
-                    sh = list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-                hs = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64)
-                sig = ((hs[:, None] * a[None, :] + b[None, :]) % MERSENNE31_D).min(axis=0)
-                ids.append(did)
-                sigs.append([int(x) for x in sig])
-            yield pd.DataFrame({"id": ids, "sig": sigs})
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                ids, sigs = [], []
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = str(text).lower().split()
+                    if len(toks) < n:
+                        hs = np.array(
+                            [zlib.crc32(" ".join(toks).encode())], dtype=np.int64
+                        )
+                    else:
+                        t = np.array(
+                            [zlib.crc32(w.encode()) for w in toks], dtype=np.int64
+                        )
+                        m = len(t) - n + 1
+                        comb = np.zeros(m, dtype=np.int64)
+                        for j in range(n):
+                            comb = comb + t[j : j + m] * coef[j]
+                        hs = np.unique(comb)
+                    hs = hs % (1 << 31)
+                    sig = ((hs[:, None] * a[None, :] + b[None, :]) % MERSENNE31_D).min(axis=0)
+                    ids.append(did)
+                    sigs.append([int(x) for x in sig])
+                yield pd.DataFrame({"id": ids, "sig": sigs})
 
     id_type = df.schema[id_col].dataType.simpleString()
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
@@ -258,6 +302,16 @@ def minhash_lsh_pairs(
         sigs = minhash_signatures_pandas(df, num_hashes, n, id_col, text_col)
     else:
         sigs = minhash_signatures(df, num_hashes, n, id_col, text_col)
+    # the plan references the signature stage up to 4x (bucket-size
+    # pre-pass, both self-join sides) and Spark cannot CSE across
+    # self-joins — persist so the (expensive) signature computation runs
+    # once; production pipelines materialize signatures as a table for the
+    # same reason, MEMORY_AND_DISK spills rather than OOMs at scale
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # bucket id = xxhash64 of the band index + the band's r slot LONGS —
+    # no per-band string building (concat_ws of slot strings cost ~2x)
     banded = sigs.select(
         "id",
         "sig",
@@ -267,13 +321,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * r + j].cast("string")
-                                    for j in range(r)
-                                ],
-                            )
+                            F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -289,29 +337,29 @@ def minhash_lsh_pairs(
             .select("band", "bucket")
         )
         banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # estimate BEFORE the pair dedup so the dedup shuffle moves
+    # (id, id, double) rows, not two 64-slot signature arrays per row
     est = F.round(
         F.size(
             F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
                 lambda eq: eq,
             )
         ).cast("double")
         / F.lit(num_hashes),
         6,
     )
-    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def minhash_lsh_verified_pairs(
@@ -339,12 +387,12 @@ def minhash_lsh_verified_pairs(
     cand = minhash_lsh_pairs(
         df, num_hashes, bands, n, id_col, text_col, engine, max_bucket
     ).select("id_a", "id_b")
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    )
-    hs = sh.select(
-        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
-    )
+    toks = tokens_col(F.col(text_col))
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+        toks.alias("_tk"),
+    ).select("id", hashed_shingles_col(F.col("_th"), F.col("_tk"), n).alias("hs"))
     j = cand.join(
         hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
     ).join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
