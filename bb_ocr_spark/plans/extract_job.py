@@ -22,9 +22,10 @@ next run's metrics pass will simply re-derive. Resume reads doc_id across
 all committed run dirs; the anti-join is a plain equi-join Catalyst
 executes as sort-merge (or broadcast when the completed set is small).
 
-At cluster scale, per-task wall time would come from a SparkListener;
-here each metrics row carries the run-level wall clock plus its
-partition's row statistics.
+Per-task wall time comes from a SparkListener scoped to the commit job's
+job group (plans/task_metrics.py) — the scheduler's own TaskEnd durations,
+joined onto the lineage rows by partition id; the run-level wall clock is
+kept alongside (and is the fallback when the listener cannot attach).
 """
 
 from __future__ import annotations
@@ -37,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import checksum_spans_col, extract_inline
+from .task_metrics import per_task_durations
 
 RESULTS = "results"
 METRICS = "metrics"
@@ -94,7 +96,8 @@ def run_extract_job(
     )
 
     run_results = os.path.join(_results_root(output_dir), f"run_id={run_id}")
-    extracted.write.mode("errorifexists").parquet(run_results)
+    with per_task_durations(spark, f"extract-commit-{run_id}") as task_ms:
+        extracted.write.mode("errorifexists").parquet(run_results)
 
     # lineage from the COMMITTED files, light columns only (column pruning
     # keeps this scan tiny relative to the span payload)
@@ -115,6 +118,17 @@ def run_extract_job(
         .withColumn("wall_time_ms", F.lit(wall_ms))
         .withColumn("committed_at", F.current_timestamp())
     )
+    if task_ms:
+        # scheduler-reported per-task duration for the commit job, joined
+        # by partition index (narrow plan: write-task index == part_id);
+        # the tiny map is broadcast
+        tm = spark.createDataFrame(
+            [(int(k), int(v)) for k, v in task_ms.items()],
+            "part_id int, task_wall_ms bigint",
+        )
+        metrics = metrics.join(F.broadcast(tm), "part_id", "left")
+    else:  # listener unavailable: keep schema stable
+        metrics = metrics.withColumn("task_wall_ms", F.lit(None).cast("bigint"))
     # run_id comes from the partition directory on read-back (a literal
     # column here would collide with the inferred partition column)
     run_metrics = os.path.join(output_dir, METRICS, f"run_id={run_id}")

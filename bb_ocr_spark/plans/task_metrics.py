@@ -1,0 +1,93 @@
+"""Per-task wall time for lineage rows, via a SparkListener.
+
+The north rule's lineage metrics include wall time per partition. The
+run-level clock (previous behavior) stamps the same number on every
+partition row; the real per-task numbers come from the scheduler's
+SparkListenerTaskEnd events — the same source the Spark UI uses — scoped
+to our job via a job group.
+
+py4j mechanics: the listener is a Python object implementing
+org.apache.spark.scheduler.SparkListenerInterface through the gateway's
+callback server. Spark's listener bus calls ~30 event methods; a
+__getattr__ catch-all no-ops everything except onJobStart (captures the
+stage ids of jobs in our group) and onTaskEnd (records per-partition task
+duration). Events are posted asynchronously, so collection waits for the
+bus to drain before reading. Everything is wrapped in a fallback: if the
+callback server cannot start (restricted envs), the context yields an
+empty mapping and callers keep the run-level clock.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+
+class _TaskTimeListener:
+    """Collects {partition index -> task duration ms} for one job group."""
+
+    def __init__(self, group: str):
+        self.group = group
+        self.stages: set[int] = set()
+        self.durations: dict[int, int] = {}
+
+    def onJobStart(self, event):  # noqa: N802 (Java interface name)
+        props = event.properties()
+        if props is not None and props.getProperty("spark.jobGroup.id") == self.group:
+            ids = event.stageIds()
+            for i in range(ids.size()):
+                self.stages.add(ids.apply(i))
+
+    def onTaskEnd(self, event):  # noqa: N802
+        if event.stageId() in self.stages:
+            info = event.taskInfo()
+            idx = info.index()
+            # retried tasks: keep the successful (last) attempt's duration
+            self.durations[idx] = int(info.duration())
+
+    def __getattr__(self, name):  # every other listener event: no-op
+        def _noop(*args, **kwargs):
+            return None
+
+        return _noop
+
+    class Java:
+        implements = ["org.apache.spark.scheduler.SparkListenerInterface"]
+
+
+@contextmanager
+def per_task_durations(spark: SparkSession, group: str):
+    """Context manager: actions run inside (under the given job group)
+    get their per-partition task durations collected into the yielded
+    dict. Yields an empty dict and degrades silently if the py4j callback
+    server is unavailable."""
+    sc = spark.sparkContext
+    listener = _TaskTimeListener(group)
+    attached = False
+    try:
+        from pyspark.java_gateway import ensure_callback_server_started  # noqa: PLC0415
+
+        ensure_callback_server_started(sc._gateway)
+        sc._jsc.sc().addSparkListener(listener)
+        attached = True
+    except Exception:
+        pass
+    sc.setJobGroup(group, f"task-timed job group {group}")
+    try:
+        yield listener.durations
+        if attached:
+            # listener bus is async; drain before reading durations
+            try:
+                sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+            except Exception:
+                import time  # noqa: PLC0415
+
+                time.sleep(0.5)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        if attached:
+            try:
+                sc._jsc.sc().removeSparkListener(listener)
+            except Exception:
+                pass

@@ -50,6 +50,11 @@ def test_resume_and_lineage(spark, tmp_path):
     total_ck = res.selectExpr("bit_xor(checksum)").collect()[0][0]
     m_ck = m.selectExpr("bit_xor(checksum)").collect()[0][0]
     assert total_ck == m_ck
+    # per-task wall time from the SparkListener: present on every lineage
+    # row in local mode, positive, and no larger than the run-level clock
+    tk = m.select("task_wall_ms", "wall_time_ms").collect()
+    assert all(r["task_wall_ms"] is not None for r in tk)
+    assert all(0 < r["task_wall_ms"] <= r["wall_time_ms"] for r in tk)
 
 
 def test_noop_rerun(spark, tmp_path):
