@@ -33,6 +33,17 @@ NAV_WORDS = ["Home", "About", "Contact", "Login", "Search", "Sitemap", "Privacy"
 
 PUBLISHERS = ["Acme Press", "Nimbus Books", "Orchard Publishing", "Harbor House"]
 
+# full-schema extractor targets (U9 full field set)
+AUTHOR_FIRST = ["John", "Jane", "Alan", "Grace", "Ada"]
+AUTHOR_LAST = ["Smith", "Doe", "Turing", "Hopper", "Lovelace"]
+BINDINGS = ["Hardcover", "Paperback"]
+ORDINALS = ["1st", "2nd", "3rd", "4th", "5th"]
+SERIES = ["Foundation", "Dune", "Culture"]
+
+# bump when gen_doc output changes: bench/scaling corpora cache under
+# /tmp keyed by this, so stale caches never leak across datagen versions
+DATAGEN_VERSION = 2
+
 UNICODE_SENTENCES = [
     "Ecriture à la française déjà vu café",
     "Grüße aus München über alles",
@@ -47,8 +58,10 @@ def _sentence(rng: random.Random) -> str:
 
 
 def _pattern_sentence(rng: random.Random) -> str:
-    """Sentence carrying a deterministic metadata pattern."""
-    which = rng.randrange(4)
+    """Sentence carrying a deterministic metadata pattern (full U9 field
+    set: isbn/year/publisher/price plus author/binding/pages/edition/
+    language/series/condition targets)."""
+    which = rng.randrange(8)
     if which == 0:
         return (
             f"ISBN 978-{rng.randrange(10)}-{rng.randrange(100, 999)}"
@@ -58,7 +71,15 @@ def _pattern_sentence(rng: random.Random) -> str:
         return f"Copyright (c) {rng.randrange(1850, 2025)} all rights reserved"
     if which == 2:
         return f"published by {rng.choice(PUBLISHERS)}"
-    return f"price ${rng.randrange(5, 200)}.{rng.randrange(0, 100):02d}"
+    if which == 3:
+        return f"price ${rng.randrange(5, 200)}.{rng.randrange(0, 100):02d}"
+    if which == 4:
+        return f"by {rng.choice(AUTHOR_FIRST)} {rng.choice(AUTHOR_LAST)}"
+    if which == 5:
+        return f"{rng.choice(BINDINGS)} {rng.randrange(80, 999)} pages"
+    if which == 6:
+        return f"{rng.choice(ORDINALS)} edition in English text"
+    return f"the {rng.choice(SERIES)} series very good condition"
 
 
 def _nav_text(rng: random.Random) -> str:

@@ -93,6 +93,29 @@ def extract_metadata_df(documents_interleaved: DataFrame) -> DataFrame:
     )
 
 
+def extract_metadata_full_df(documents_interleaved: DataFrame) -> DataFrame:
+    """Full 16-field U9 schema over the REAL extraction pipeline: context
+    from the kept spans (boilerplate stripped, length-capped), title line
+    = first kept text span (reference first-line heuristic,
+    book_extractor.py:115-124). Golden oracle: oracle.extract_metadata_full.
+
+    Same CSE discipline as extract_metadata_df: ctx and the first-span
+    title are materialized once before the ~20 regex families reference
+    them."""
+    from .metadata_full import metadata_full_cols  # noqa: PLC0415
+
+    extracted = extract_inline(documents_interleaved)
+    first_text = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+    with_ctx = extracted.select(
+        "doc_id",
+        context_text_col(F.col("spans")).alias("_ctx"),
+        F.try_element_at(first_text, F.lit(1))["text"].alias("_first"),
+    )
+    return with_ctx.select(
+        "doc_id", *metadata_full_cols(F.col("_ctx"), F.col("_first"))
+    )
+
+
 def validate_metadata_cols() -> Column:
     """Validation semantics of process_book_enhanced.py:35-51: title required,
     ISBN-10 length 10, ISBN-13 length 13 (after dash/space strip)."""

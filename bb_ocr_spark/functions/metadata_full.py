@@ -62,12 +62,17 @@ def _first(ctx: Column, pattern: str, group: int = 1) -> Column:
     return F.nullif(F.regexp_extract(ctx, pattern, group), F.lit(""))
 
 
-def metadata_full_cols(ctx: Column) -> list[Column]:
+def metadata_full_cols(ctx: Column, first_line: Column | None = None) -> list[Column]:
     """The 16-field record as columns over a context string. Array fields
     are emitted '; '-joined (empty string = empty array) so results hash
-    identically across engines."""
+    identically across engines.
+
+    first_line — the title-line source (reference heuristic: first OCR
+    line, book_extractor.py:115-124). Defaults to the first \\n-line of
+    ctx; the pipeline variant passes the first kept text span instead."""
     lower = F.lower(ctx)
-    first_line = F.regexp_extract(ctx, r"^([^\n]*)", 1)
+    if first_line is None:
+        first_line = F.regexp_extract(ctx, r"^([^\n]*)", 1)
     title = F.nullif(F.trim(F.regexp_extract(first_line, r"^([^:]*)", 1)), F.lit(""))
     subtitle = F.nullif(
         F.trim(F.regexp_extract(first_line, r"^[^:]*:(.*)$", 1)), F.lit("")

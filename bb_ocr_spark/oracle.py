@@ -125,3 +125,92 @@ def extract_metadata(spans: list[dict]) -> dict:
         "last_price_amount": float(last_price) if last_price else None,
         "genre": genre,
     }
+
+
+# --------------------------------------------------------------------------
+# full-schema metadata (U9 full field set) — python reference for
+# functions/metadata_full.metadata_full_cols over the extraction pipeline
+# --------------------------------------------------------------------------
+
+
+def extract_metadata_full(spans: list[dict]) -> dict:
+    """Frozen reference for extract_metadata_full_df: same regex/CASE
+    rules as functions/metadata_full.py, over context_text(spans) with the
+    title line = first kept text span."""
+    from .functions import metadata_full as mf
+
+    ctx = context_text(spans)
+    low = ctx.lower()
+    ordered = extract_doc(spans)
+    first_line = next((t for k, t, _ in ordered if k == "text"), None)
+
+    def first(pattern, s=None):
+        m = re.search(pattern, ctx if s is None else s)
+        return m.group(1) if m else None
+
+    title = subtitle = None
+    if first_line is not None:
+        head, sep, tail = first_line.partition(":")
+        title = head.strip() or None
+        subtitle = (tail.strip() or None) if sep else None
+
+    seen, authors = set(), []
+    for a in re.findall(mf.AUTHOR_RE, ctx):
+        if a not in seen:
+            seen.add(a)
+            authors.append(a)
+
+    publisher = first(config.PUBLISHER_RE)
+    if publisher is None:
+        for name in mf.KNOWN_PUBLISHERS:
+            if re.search(rf"\b{name.lower()}\b", low):
+                publisher = name
+                break
+
+    isbn13 = first(config.ISBN13_RE)
+    isbn10 = None if isbn13 else first(config.ISBN10_RE)
+
+    def strip_isbn(v):
+        return re.sub(r"[- ]", "", v) if v else None
+
+    isbn13, isbn10 = strip_isbn(isbn13), strip_isbn(isbn10)
+
+    def first_in(options):
+        return next((o for o in options if o in low), None)
+
+    pages = first(mf.PAGES_RE)
+    page_count = int(pages) if pages else None
+    categories = [
+        g for g, kws in config.GENRE_KEYWORDS.items() if any(k in low for k in kws)
+    ]
+    conditions = [k for k in mf.CONDITION_KEYWORDS if k in low]
+    m_price = re.search(mf.PRICE_CCY_RE, ctx)
+    ccy = {"$": "USD", "€": "EUR", "£": "GBP"}.get(m_price.group(1)) if m_price else None
+    amount = float(m_price.group(2)) if m_price else None
+    valid = (
+        title is not None
+        and (isbn10 is None or len(isbn10) == 10)
+        and (isbn13 is None or len(isbn13) == 13)
+        and (page_count is None or page_count > 0)
+    )
+    return {
+        "title": title,
+        "subtitle": subtitle,
+        "authors": "; ".join(authors),
+        "publisher": publisher,
+        "year": first(config.YEAR_RE),
+        "isbn_13": isbn13,
+        "isbn_10": isbn10,
+        "asin": first(mf.ASIN_RE),
+        "edition": first(mf.EDITION_RE),
+        "binding_type": first_in(mf.BINDING_TYPES),
+        "language": first_in(mf.LANGUAGES),
+        "page_count": page_count,
+        "categories": "; ".join(categories),
+        "description": first(mf.DESCRIPTION_RE),
+        "condition_keywords": "; ".join(conditions),
+        "price_currency": ccy,
+        "price_amount": amount,
+        "series": first(mf.SERIES_RE),
+        "valid": valid,
+    }

@@ -22,7 +22,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bb_ocr_spark import datagen  # noqa: E402
-from bb_ocr_spark.functions.metadata import extract_metadata_df  # noqa: E402
+from bb_ocr_spark.functions.metadata import (  # noqa: E402
+    extract_metadata_df,
+    extract_metadata_full_df,
+)
 from bb_ocr_spark.operators.assemble import (  # noqa: E402
     assemble_spans,
     explode_spans,
@@ -40,7 +43,7 @@ N_DOCS = max(int(200_000 * _SF), 2_000)
 
 
 def _corpus_path(kind: str) -> str:
-    return f"/tmp/bb_ocr_bench/{kind}_{N_DOCS}"
+    return f"/tmp/bb_ocr_bench/{kind}_v{datagen.DATAGEN_VERSION}_{N_DOCS}"
 
 
 def prepare(spark) -> tuple[str, str]:
@@ -95,6 +98,11 @@ def main() -> None:
         lambda: extract_metadata_df(spans_df).selectExpr(
             "count(isbn_13)", "count(year)", "count(genre)"
         ).collect()
+    )
+    q["extract_metadata_fullpipe"] = timed(
+        lambda: extract_metadata_full_df(spans_df)
+        .selectExpr("bit_xor(xxhash64(struct(*)))")
+        .collect()
     )
 
     # relational workloads: every driver-contract query at SF_DIR.

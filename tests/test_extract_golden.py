@@ -58,3 +58,28 @@ def test_metadata_equality(spark):
         row = got[did]
         for k, v in want.items():
             assert row[k] == v, f"{did}.{k}: spark={row[k]!r} oracle={v!r}"
+
+
+def test_metadata_full_equality(spark):
+    # full 16-field U9 schema over the real pipeline vs the frozen python
+    # reference; the datagen corpus seeds author/binding/pages/edition/
+    # language/series/condition patterns so every field class is hit
+    from bb_ocr_spark.functions.metadata import extract_metadata_full_df
+
+    df = datagen.generate_df(spark, N_DOCS, partitions=8)
+    got = {r["doc_id"]: r.asDict() for r in extract_metadata_full_df(df).collect()}
+    hit = {k: 0 for k in next(iter(got.values())) if k != "doc_id"}
+    for i in range(N_DOCS):
+        did = datagen.doc_id_of(i)
+        _, spans = datagen.gen_doc(i)
+        want = oracle.extract_metadata_full(spans)
+        row = got[did]
+        for k, v in want.items():
+            assert row[k] == v, f"{did}.{k}: spark={row[k]!r} oracle={v!r}"
+            if v not in (None, "", False):
+                hit[k] += 1
+    # field-class coverage: the corpus must exercise every extractor family
+    for k in ("authors", "binding_type", "page_count", "edition", "language",
+              "series", "condition_keywords", "categories", "year",
+              "publisher", "isbn_13", "price_amount", "valid"):
+        assert hit[k] > 0, f"corpus never exercises field {k}"

@@ -60,7 +60,9 @@ def run_at(cores: int, path: str) -> dict:
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
-    path = f"/tmp/bb_ocr_bench/spans_{n_docs}"
+    from bb_ocr_spark.datagen import DATAGEN_VERSION  # noqa: PLC0415
+
+    path = f"/tmp/bb_ocr_bench/spans_v{DATAGEN_VERSION}_{n_docs}"
     if not os.path.isdir(path):
         from bb_ocr_spark.session import get_spark  # noqa: PLC0415
         from bb_ocr_spark import datagen  # noqa: PLC0415
