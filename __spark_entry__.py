@@ -867,6 +867,148 @@ FROM cells
 """
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming session-window semantics, batch-checkable: events within a
+    # 4h gap merge into one session per user; end = last event + gap. The
+    # oracle replays it as gaps-and-islands (lag + cumulative sum).
+    e = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        e.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), fmt).alias("session_start"),
+            F.date_format(F.col("w.end"), fmt).alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_ORACLE_SESSION_WINDOWS = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+def _q_best_offer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2->J3->J4 tiered best-offer join + W1 priority window, end to end:
+    # docs split into residue classes matched via ISBN (tier 1, dash/space
+    # normalization exercised), normalized-title equality (tier 2), token
+    # Jaccard >= 0.5 (tier 3), or nothing; two offers per doc so the
+    # (tier, amount, listing_id) window ordering is exercised
+    from bb_ocr_spark.operators.offers import best_offer
+
+    d = F.col("doc_id").cast("long")
+    isbn_dash = F.concat(
+        F.lit("978-0-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((d % 100000).cast("string"), 5, "0"),
+        F.lit("-"), (d % 10).cast("string"),
+    )
+    isbn_space = F.regexp_replace(isbn_dash, "-", " ")
+    docs = _docs(spark, sf_dir)
+    meta = docs.select(
+        "doc_id",
+        F.concat(F.lit("Doc "), d.cast("string"), F.lit(" Chronicles")).alias("title"),
+        F.when(d % 4 == 0, isbn_dash).alias("isbn_13"),
+        F.lit(None).cast("string").alias("isbn_10"),
+    )
+    i = F.explode(F.array(F.lit(0).cast("long"), F.lit(1).cast("long")))
+    offers = docs.select("doc_id", i.alias("i")).select(
+        (d * 10 + F.col("i")).alias("listing_id"),
+        F.when(d % 4 == 0, F.lit("Unrelated Tome"))
+        .when(d % 4 == 1, F.concat(F.lit("DOC "), d.cast("string"), F.lit(" chronicles!!")))
+        .when(d % 4 == 2, F.concat(F.lit("Doc "), d.cast("string"), F.lit(" Saga")))
+        .otherwise(F.lit("Zork Unrelated"))
+        .alias("title"),
+        F.when(d % 4 == 0, isbn_space).alias("isbn_13"),
+        F.lit(None).cast("string").alias("isbn_10"),
+        ((d * 7) % 90 + 10 + F.col("i") * 5).cast("double").alias("amount"),
+        F.lit("USD").alias("currency"),
+    )
+    out = best_offer(meta, offers)
+    return out.select(
+        "doc_id", "listing_id", "amount", "currency",
+        F.col("tier").cast("bigint").alias("tier"),
+    )
+
+
+_ORACLE_BEST_OFFER = r"""
+WITH meta AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' Chronicles' AS title,
+         CASE WHEN doc_id % 4 = 0 THEN '978-0-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+              || '-' || CAST(doc_id % 10 AS VARCHAR) END AS isbn_13
+  FROM documents
+), offers AS (
+  SELECT doc_id * 10 + i AS listing_id, doc_id AS src,
+         CASE WHEN doc_id % 4 = 0 THEN 'Unrelated Tome'
+              WHEN doc_id % 4 = 1 THEN 'DOC ' || CAST(doc_id AS VARCHAR) || ' chronicles!!'
+              WHEN doc_id % 4 = 2 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' Saga'
+              ELSE 'Zork Unrelated' END AS title,
+         CASE WHEN doc_id % 4 = 0 THEN replace(
+              '978-0-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+              || '-' || CAST(doc_id % 10 AS VARCHAR), '-', ' ') END AS isbn_13,
+         CAST((doc_id * 7) % 90 + 10 + i * 5 AS DOUBLE) AS amount,
+         'USD' AS currency
+  FROM documents, unnest([0, 1]) t(i)
+), m AS (
+  SELECT doc_id,
+         nullif(regexp_replace(coalesce(isbn_13, ''), '[-\s]', '', 'g'), '') AS m_isbn,
+         nullif(trim(regexp_replace(regexp_replace(lower(coalesce(title, '')),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), '') AS m_title
+  FROM meta
+), o AS (
+  SELECT listing_id, amount, currency,
+         nullif(regexp_replace(coalesce(isbn_13, ''), '[-\s]', '', 'g'), '') AS o_isbn,
+         nullif(trim(regexp_replace(regexp_replace(lower(coalesce(title, '')),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), '') AS o_title
+  FROM offers
+), toks AS (
+  SELECT doc_id, listing_id, amount, currency, m_isbn, m_title, o_isbn, o_title,
+         list_distinct(list_filter(string_split(m_title, ' '),
+           x -> x NOT IN ('the','a','an','of','and','or','in','on','to'))) AS mt,
+         list_distinct(list_filter(string_split(o_title, ' '),
+           x -> x NOT IN ('the','a','an','of','and','or','in','on','to'))) AS ot
+  FROM m, o
+), tiers AS (
+  SELECT doc_id, listing_id, amount, currency, 1 AS tier FROM toks
+  WHERE m_isbn IS NOT NULL AND o_isbn IS NOT NULL AND m_isbn = o_isbn
+  UNION ALL
+  SELECT doc_id, listing_id, amount, currency, 2 FROM toks
+  WHERE m_title IS NOT NULL AND o_title IS NOT NULL AND m_title = o_title
+  UNION ALL
+  SELECT doc_id, listing_id, amount, currency, 3 FROM toks
+  WHERE len(list_distinct(list_concat(mt, ot))) > 0
+    AND len(list_intersect(mt, ot)) /
+        CAST(len(list_distinct(list_concat(mt, ot))) AS DOUBLE) >= 0.5
+)
+SELECT doc_id, listing_id, amount, currency, CAST(tier AS BIGINT) AS tier
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tier, amount, listing_id) AS rn FROM tiers)
+WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -900,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata_full": _q_extract_metadata_full,
         "currency_parse": _q_currency_parse,
         "parse_offers": _q_parse_offers,
+        "session_windows": _q_session_windows,
+        "best_offer": _q_best_offer,
     }
 
 
@@ -931,4 +1075,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_metadata_full": _oracle_metadata_full(),
         "currency_parse": _oracle_currency_parse(),
         "parse_offers": _oracle_parse_offers(),
+        "session_windows": _ORACLE_SESSION_WINDOWS,
+        "best_offer": _ORACLE_BEST_OFFER,
     }
