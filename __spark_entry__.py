@@ -1009,6 +1009,88 @@ WHERE rn = 1
 """
 
 
+def _q_tokenize_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the north-star tokenizer (markup -> interleaved span sequence with
+    # the boilerpipe-style anchor-density block classifier) over
+    # synthesized markup; the oracle replays block split, tag strip,
+    # anchor-word counting, the density rule, and offset assignment in SQL
+    from bb_ocr_spark.operators.tokenizer import tokenize_html_expr
+
+    d = F.col("doc_id").cast("long")
+    nav = F.lit(
+        '<div><a href="/h">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a> nav</div>'
+    )
+    mixed = F.when(
+        d % 3 == 0,
+        F.lit('<p>read more <a href="/m">here now</a> today fine</p>'),
+    ).otherwise(F.lit(""))
+    img = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<div>cover shot <img src="img://'), d.cast("string"),
+            F.lit('/0"> shown</div>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<h1>Doc "), d.cast("string"), F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 120), F.lit("</p>"), img, nav, mixed,
+    )
+    src = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return tokenize_html_expr(src).select(
+        "doc_id", F.inline("spans")
+    ).withColumn("offset", F.col("offset").cast("bigint"))
+
+
+def _oracle_tokenize_spans() -> str:
+    from bb_ocr_spark import config as C
+
+    synth = """'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+      || substr(text, 1, 120) || '</p>'
+      || CASE WHEN doc_id % 2 = 0 THEN '<div>cover shot <img src="img://'
+              || CAST(doc_id AS VARCHAR) || '/0"> shown</div>' ELSE '' END
+      || '<div><a href="/h">Home</a> <a href="/a">About</a> <a href="/c">Contact</a> nav</div>'
+      || CASE WHEN doc_id % 3 = 0
+              THEN '<p>read more <a href="/m">here now</a> today fine</p>'
+              ELSE '' END"""
+    return f"""
+WITH h AS (SELECT doc_id, {synth} AS html FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(html, '{C.BLOCK_TAG_RE}')) AS block,
+         unnest(range(len(regexp_split_to_array(html, '{C.BLOCK_TAG_RE}')))) AS bi
+  FROM h
+), cells AS (
+  SELECT doc_id, bi, block,
+    regexp_extract_all(block, '{C.IMG_SRC_RE.replace("'", "''")}', 1) AS refs,
+    trim(regexp_replace(regexp_replace(block, '{C.ANY_TAG_RE}', ' ', 'g'),
+                        '{C.WS_SQUEEZE_RE}', ' ', 'g')) AS txt,
+    coalesce(list_sum(list_transform(
+      regexp_extract_all(block, '{C.ANCHOR_TEXT_RE}', 1),
+      a -> len(list_filter(
+             string_split(trim(regexp_replace(a, '{C.WS_SQUEEZE_RE}', ' ', 'g')), ' '),
+             w -> w <> '')))), 0) AS anchor_words
+  FROM b
+), spans AS (
+  SELECT doc_id, bi, 0 AS sub, rp, 'media' AS kind,
+         CAST(NULL AS VARCHAR) AS text, ref AS media_ref
+  FROM (SELECT doc_id, bi, unnest(refs) AS ref,
+               unnest(range(len(refs))) AS rp FROM cells)
+  UNION ALL
+  SELECT doc_id, bi, 1 AS sub, 0 AS rp, 'text' AS kind, txt AS text,
+         CAST(NULL AS VARCHAR) AS media_ref
+  FROM cells
+  WHERE txt <> ''
+    AND anchor_words / CAST(len(string_split(txt, ' ')) AS DOUBLE)
+        <= {C.LINK_DENSITY_HTML_MAX}
+)
+SELECT doc_id, kind, text, media_ref,
+       row_number() OVER (PARTITION BY doc_id ORDER BY bi, sub, rp) - 1
+         AS offset
+FROM spans
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1044,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_offers": _q_parse_offers,
         "session_windows": _q_session_windows,
         "best_offer": _q_best_offer,
+        "tokenize_spans": _q_tokenize_spans,
     }
 
 
@@ -1077,4 +1160,5 @@ def oracle_sql() -> dict[str, str]:
         "parse_offers": _oracle_parse_offers(),
         "session_windows": _ORACLE_SESSION_WINDOWS,
         "best_offer": _ORACLE_BEST_OFFER,
+        "tokenize_spans": _oracle_tokenize_spans(),
     }

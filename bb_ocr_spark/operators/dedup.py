@@ -121,6 +121,12 @@ def ngram_jaccard_pairs(
     inv = base.select(
         "id", F.explode(hashed_shingles_col(F.col("_th"), F.col("_tk"), n)).alias("tok")
     )
+    # the inverted index feeds the df pre-pass, both self-join sides, and
+    # the set-size aggregation — persist so tokenize+hash runs once
+    # (production materializes this as a table; MEMORY_AND_DISK spills)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         hot = (
             inv.groupBy("tok")
@@ -129,12 +135,9 @@ def ngram_jaccard_pairs(
             .select("tok")
         )
         inv = inv.join(F.broadcast(hot), "tok", "left_anti")
-        # set sizes over the CAPPED sets so the ratio stays a true Jaccard
-        sized = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
-    else:
-        sized = base.select(
-            "id", F.size(hashed_shingles_col(F.col("_th"), F.col("_tk"), n)).alias("n_sh")
-        )
+    # set sizes over the (possibly capped) sets so the ratio stays a true
+    # Jaccard over exactly the sets being intersected
+    sized = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "tok")
