@@ -1091,6 +1091,57 @@ FROM spans
 """
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-wide paragraph dedup (RefinedWeb/C4-style): first occurrence
+    # by (doc_id, position) wins, docs rebuilt from surviving paragraphs;
+    # payload = unique paragraph + corpus-wide boilerplate + residue-class
+    # shared paragraph + possibly-empty tail
+    from bb_ocr_spark.operators.dedup import paragraph_dedup
+
+    d = F.col("doc_id").cast("long")
+    payload = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 80),
+        F.lit("subscribe to our newsletter for updates"),
+        F.concat(F.lit("weekly digest number "), (d % 7).cast("string")),
+        F.substring("text", 81, 80),
+    )
+    src = _docs(spark, sf_dir).select("doc_id", payload.alias("text"))
+    return paragraph_dedup(src).withColumnRenamed("id", "doc_id")
+
+
+_ORACLE_PARAGRAPH_DEDUP = r"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10), substr(text, 1, 80),
+                   'subscribe to our newsletter for updates',
+                   'weekly digest number ' || CAST(doc_id % 7 AS VARCHAR),
+                   substr(text, 81, 80)) AS text
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text, chr(10))))) AS pos,
+         regexp_replace(trim(unnest(string_split(text, chr(10)))), '\s+', ' ', 'g') AS para
+  FROM src
+), pf AS (
+  SELECT * FROM paras WHERE para <> ''
+), winners AS (
+  SELECT para, min(struct_pack(id := doc_id, pos := pos)) AS w
+  FROM pf GROUP BY para
+), kept AS (
+  SELECT pf.doc_id, pf.pos, pf.para,
+         (pf.doc_id = w.id AND pf.pos = w.pos) AS keep
+  FROM pf JOIN winners USING (para), LATERAL (SELECT winners.w.id AS id, winners.w.pos AS pos) w
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)
+                           ORDER BY pos), '') AS text_dedup,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1127,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "best_offer": _q_best_offer,
         "tokenize_spans": _q_tokenize_spans,
+        "paragraph_dedup": _q_paragraph_dedup,
     }
 
 
@@ -1161,4 +1213,5 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": _ORACLE_SESSION_WINDOWS,
         "best_offer": _ORACLE_BEST_OFFER,
         "tokenize_spans": _oracle_tokenize_spans(),
+        "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
     }

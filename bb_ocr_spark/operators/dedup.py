@@ -408,6 +408,63 @@ def minhash_lsh_verified_pairs(
 
 
 # --------------------------------------------------------------------------
+# paragraph-level exact dedup (RefinedWeb/C4-style)
+# --------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: each exact paragraph (normalized:
+    trimmed, ws-squeezed) survives only at its FIRST occurrence — min
+    (doc_id, position) over every occurrence corpus-wide, which also
+    drops within-doc repeats — and each document is rebuilt from its kept
+    paragraphs in original order.
+
+    Scale shape: explode → aggregate winners on the 8-byte paragraph HASH
+    (text never shuffles for the winner pass) → hash-join back → rebuild
+    per doc. Returns (id, text_dedup, n_kept, n_dropped)."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .withColumn("para", F.regexp_replace(F.trim("para"), r"\s+", " "))
+        .filter(F.col("para") != "")
+        .withColumn("fp", F.xxhash64("para"))
+    )
+    winners = paras.groupBy("fp").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    )
+    kept = paras.join(winners, "fp").withColumn(
+        "keep", (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct("pos", "para"))
+                )
+            ).alias("ps"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+        .select(
+            "id",
+            F.array_join(F.transform("ps", lambda p: p["para"]), sep).alias(
+                "text_dedup"
+            ),
+            "n_kept",
+            "n_dropped",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -450,3 +450,24 @@ def test_lsh_multiprobe_recall(spark, sf_dir):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 >= 0.95, f"multi-probe recall {r4} (single-probe {r1})"
+
+
+def test_paragraph_dedup(spark):
+    from bb_ocr_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        ("a", "unique alpha\nshared boiler\nunique beta"),
+        ("b", "shared boiler\nunique gamma\nshared boiler"),  # within-doc repeat too
+        ("c", "shared  boiler"),  # ws-normalized == the shared paragraph
+        ("d", "\n\n"),  # only empty paragraphs -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["id"]: r for r in paragraph_dedup(df, "doc_id").collect()}
+    assert out["a"]["text_dedup"] == "unique alpha\nshared boiler\nunique beta"
+    assert out["a"]["n_dropped"] == 0
+    # doc a holds the first occurrence of the boilerplate; b loses both
+    # copies (cross-doc + within-doc), c loses its only paragraph
+    assert out["b"]["text_dedup"] == "unique gamma"
+    assert out["b"]["n_kept"] == 1 and out["b"]["n_dropped"] == 2
+    assert out["c"]["text_dedup"] == "" and out["c"]["n_dropped"] == 1
+    assert "d" not in out  # nothing but empties -> filtered before dedup
