@@ -78,18 +78,22 @@ def tokenize_html_oracle(html: str) -> list[dict]:
 
 
 def _block_spans_col(html: Column) -> Column:
-    """Per-block span arrays (media then text), before offset assignment."""
+    """Per-block span arrays (media then text), before offset assignment.
+
+    Two-level transform: level 1 binds each block's EXPENSIVE derivations
+    (tag-stripped text, anchor word count) as struct fields — a HOF lambda
+    VARIABLE is a bound value, so each is computed once per block; the
+    single-level form re-evaluated the tag-strip regex chain 3x per block
+    (emptiness test, word count, emission) because expression trees
+    duplicate at construction time (no CSE across HOF lambdas). Level 2
+    assembles spans from the cheap struct fields. On the synthetic bench
+    corpus the win is small (0.55s -> 0.53s at 20k docs — the anchor/img
+    regexp_extract_all passes dominate there and were already
+    single-evaluation); the shape matters on text-heavy blocks where the
+    triple tag-strip was the bottleneck."""
     blocks = F.split(html, config.BLOCK_TAG_RE)
 
-    def spans_of(block: Column) -> Column:
-        media = F.transform(
-            F.regexp_extract_all(block, F.lit(config.IMG_SRC_RE), F.lit(1)),
-            lambda ref: F.struct(
-                F.lit("media").alias("kind"),
-                F.lit(None).cast("string").alias("text"),
-                ref.alias("media_ref"),
-            ),
-        )
+    def derive(block: Column) -> Column:
         text = F.trim(
             F.regexp_replace(
                 F.regexp_replace(block, config.ANY_TAG_RE, " "),
@@ -97,7 +101,6 @@ def _block_spans_col(html: Column) -> Column:
                 " ",
             )
         )
-        n_words = F.size(F.split(text, " "))  # text is squeezed; no empties
         anchor_words = F.aggregate(
             F.regexp_extract_all(block, F.lit(config.ANCHOR_TEXT_RE), F.lit(1)),
             F.lit(0),
@@ -109,8 +112,24 @@ def _block_spans_col(html: Column) -> Column:
                 )
             ),
         )
+        refs = F.regexp_extract_all(block, F.lit(config.IMG_SRC_RE), F.lit(1))
+        return F.struct(
+            refs.alias("refs"), text.alias("text"), anchor_words.alias("aw")
+        )
+
+    def spans_of(d: Column) -> Column:
+        media = F.transform(
+            d["refs"],
+            lambda ref: F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                ref.alias("media_ref"),
+            ),
+        )
+        text = d["text"]
+        n_words = F.size(F.split(text, " "))  # text is squeezed; no empties
         keep_text = (text != "") & (
-            anchor_words.cast("double") / n_words <= F.lit(config.LINK_DENSITY_HTML_MAX)
+            d["aw"].cast("double") / n_words <= F.lit(config.LINK_DENSITY_HTML_MAX)
         )
         text_span = F.when(
             keep_text,
@@ -124,7 +143,7 @@ def _block_spans_col(html: Column) -> Column:
         ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string>>"))
         return F.concat(media, text_span)
 
-    return F.flatten(F.transform(blocks, spans_of))
+    return F.flatten(F.transform(F.transform(blocks, derive), spans_of))
 
 
 def tokenized_spans_col(html: Column) -> Column:
