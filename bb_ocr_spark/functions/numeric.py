@@ -49,6 +49,38 @@ def parse_locale_number(raw: Column) -> Column:
     return norm.try_cast("double")
 
 
+def py_parse_locale_number(raw: str) -> float | None:
+    """Frozen Python reference for parse_locale_number (dual-implementation
+    check, fuzz-tested in tests/test_fuzz.py)."""
+    import re  # noqa: PLC0415
+
+    s = re.sub(r"[^0-9.,-]", "", raw.strip())
+    dec_comma = re.search(r",\d{1,2}$", s) and not re.search(r",\d{1,2}\.\d", s)
+    norm = s.replace(".", "").replace(",", ".") if dec_comma else s.replace(",", "")
+    try:
+        return float(norm)
+    except ValueError:
+        return None
+
+
+def py_currency_code(raw: str) -> str | None:
+    """Frozen Python reference for currency_code."""
+    import re  # noqa: PLC0415
+
+    lowered = raw.strip().lower()
+    ordered = sorted(
+        CURRENCY_MAP.items(),
+        key=lambda kv: (-len(kv[0]), list(CURRENCY_MAP).index(kv[0])),
+    )
+    for key, code in ordered:
+        if key.isalpha():
+            if re.search(rf"\b{key}\b", lowered):
+                return code
+        elif key in raw.strip():
+            return code
+    return None
+
+
 def parse_locale_number_sql(raw: str) -> str:
     """DuckDB expression mirroring parse_locale_number exactly."""
     s = f"regexp_replace(trim({raw}), '[^0-9.,-]', '', 'g')"

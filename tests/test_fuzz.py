@@ -128,3 +128,57 @@ def test_spark_classifier_matches_oracle_on_fuzz_corpus(spark):
         got = rows[i]
         assert got["boiler"] == want_boiler, f"{t!r}: {got['boiler']} != {want_boiler}"
         assert got["norm"] == oracle.normalize_text(t), f"norm mismatch {t!r}"
+
+
+@given(st.text(alphabet="0123456789.,-$€£¥ UuSsDdollarseuropound", max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_locale_number_python_total(t):
+    from bb_ocr_spark.functions.numeric import py_currency_code, py_parse_locale_number
+
+    v = py_parse_locale_number(t)
+    assert v is None or isinstance(v, float)
+    assert py_parse_locale_number(t) == v  # deterministic
+    c = py_currency_code(t)
+    assert c is None or c in {"USD", "EUR", "GBP", "JPY", "CAD", "AUD"}
+
+
+def test_spark_locale_parse_matches_python_on_fuzz_corpus(spark):
+    # one batch job over an adversarial corpus (hypothesis-per-example
+    # through Spark would be pathological)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.functions.numeric import (
+        currency_code,
+        parse_locale_number,
+        py_currency_code,
+        py_parse_locale_number,
+    )
+
+    rng = random.Random(7)
+    alphabet = "0123456789.,-$€£¥ USD dollars euros pounds eur gbp x"
+    corpus = ["1.234,56", "1,234.56", "12,50", "US$ 1 234,99", "25 dollars",
+              "", ".", "-", ",,", "1.2.3", "-.5", "5.", "0,0", "9" * 320,
+              "1,23", "1,234", "price: € 7,00 only", "¥1000", "C$ 9.99"]
+    corpus += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+               for _ in range(600)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "i int, raw string")
+    got = {
+        r["i"]: (r["amt"], r["ccy"])
+        for r in df.select(
+            "i",
+            parse_locale_number(F.col("raw")).alias("amt"),
+            currency_code(F.col("raw")).alias("ccy"),
+        ).collect()
+    }
+    for i, s in enumerate(corpus):
+        want_amt, want_ccy = py_parse_locale_number(s), py_currency_code(s)
+        amt, ccy = got[i]
+        if want_amt is None or amt is None:
+            assert want_amt is None and amt is None, (s, amt, want_amt)
+        elif math.isinf(want_amt) or math.isinf(amt):
+            assert math.isinf(want_amt) and math.isinf(amt), (s, amt, want_amt)
+        else:
+            assert amt == want_amt, (s, amt, want_amt)
+        assert ccy == want_ccy, (s, ccy, want_ccy)

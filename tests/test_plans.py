@@ -67,3 +67,20 @@ def test_anti_join_resume_shape(spark, tmp_path):
     assert "LeftAnti" in p
     # completed set is small -> broadcast anti join expected
     assert "Broadcast" in p
+
+def test_new_query_plan_quality(spark):
+    """Plan-shape guards for the round-2 driver queries: candidate
+    generation must never degrade to a cartesian/nested-loop product, and
+    the tokenizer query must stay a narrow zero-Exchange map."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+
+    tok = plan_of(qs["tokenize_spans"](spark, sf))
+    assert "Exchange" not in tok, "tokenize_spans must be a narrow map-only plan"
+
+    for name in ("best_offer", "paragraph_dedup", "minhash_lsh", "ngram_jaccard"):
+        plan = plan_of(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
