@@ -44,7 +44,8 @@ def bpe_ish_token_count_col(text: Column) -> Column:
     contraction | word | number | punct-run (public BPE split regex shape).
     """
     pat = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
-    return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+    # regexp_count: counting must not materialize the match strings
+    return F.regexp_count(text, F.lit(pat))
 
 
 def lang_scores_col(text: Column) -> Column:
