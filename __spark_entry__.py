@@ -1142,6 +1142,34 @@ FROM kept GROUP BY doc_id
 """
 
 
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hash split + key-stable sampling: reproducible at any
+    # parallelism, stable under appends (a doc's split never changes), no
+    # rand() — the production way to split a 100 TB corpus
+    from bb_ocr_spark.functions.sampling import deterministic_sample_col, split_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        split_col(F.col("doc_id")).alias("split"),
+        deterministic_sample_col(F.col("doc_id"), 0.1).alias("in_10pct_sample"),
+    )
+
+
+def _oracle_train_split() -> str:
+    from bb_ocr_spark.functions.sampling import hash_bucket_sql
+
+    b100 = hash_bucket_sql("doc_id", 100, "split")
+    b1m = hash_bucket_sql("doc_id", 1_000_000, "sample")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b100} < 90 THEN 'train'
+            WHEN {b100} < 95 THEN 'val' ELSE 'test' END AS split,
+       {b1m} < 100000 AS in_10pct_sample
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1179,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_offer": _q_best_offer,
         "tokenize_spans": _q_tokenize_spans,
         "paragraph_dedup": _q_paragraph_dedup,
+        "train_split": _q_train_split,
     }
 
 
@@ -1214,4 +1243,5 @@ def oracle_sql() -> dict[str, str]:
         "best_offer": _ORACLE_BEST_OFFER,
         "tokenize_spans": _oracle_tokenize_spans(),
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
+        "train_split": _oracle_train_split(),
     }

@@ -1,0 +1,61 @@
+"""Deterministic sampling / dataset-split utilities.
+
+The standard way to split a 100 TB corpus into train/val/test is a hash
+of a stable key — reproducible at any parallelism, stable under
+re-partitioning and incremental appends (a doc's split never changes when
+more data arrives), and requiring no global shuffle or state. The hash
+family here is md5 (identical in Spark and ANSI SQL engines, so the split
+is oracle-checkable), folded to a bucket in [0, buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_bucket_col(key: Column, buckets: int = 100, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, buckets): md5(salt || key) first 15 hex
+    chars as a 60-bit int, mod buckets. The salt decorrelates independent
+    splits/samples taken over the same key."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def split_col(
+    key: Column,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: str = "split",
+) -> Column:
+    """'train' | 'val' | 'test' assignment from the hash bucket."""
+    b = hash_bucket_col(key, 100, salt)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def deterministic_sample_col(
+    key: Column, fraction: float, salt: str = "sample", resolution: int = 1_000_000
+) -> Column:
+    """Boolean keep-flag for a deterministic fraction of rows by key —
+    the scalable replacement for rand()-based sampling (stable across
+    retries, resumable, join-consistent: the same key samples identically
+    in every table that applies the same salt)."""
+    return hash_bucket_col(key, resolution, salt) < int(fraction * resolution)
+
+
+def hash_bucket_sql(key: str, buckets: int = 100, salt: str = "split") -> str:
+    """DuckDB expression mirroring hash_bucket_col exactly (hex→int via
+    positional digit weights — no hex cast in ANSI SQL)."""
+    md5 = f"md5('{salt}' || CAST({key} AS VARCHAR))"
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5}, {p + 1}, 1)) - 1) * "
+        f"{16 ** (14 - p)}"
+        for p in range(15)
+    )
+    return f"(({digits}) % {buckets})"
