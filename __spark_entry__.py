@@ -1170,6 +1170,25 @@ FROM documents
 """
 
 
+def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-probe hyperplane-LSH ANN; the oracle regenerates the seeded
+    # hyperplanes and replays signature bits, margin-ordered probe flips,
+    # and the exact re-rank in SQL with plane literals
+    from bb_ocr_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=10,
+        n_probe=3,
+    ).withColumn("rk", F.col("rk").cast("bigint"))
+
+
+def _oracle_lsh_ann() -> str:
+    from bb_ocr_spark.operators.similarity import lsh_oracle_sql
+
+    return lsh_oracle_sql(dim=64, k=5, n_planes=10, n_probe=3, max_query_id=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1208,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_spans": _q_tokenize_spans,
         "paragraph_dedup": _q_paragraph_dedup,
         "train_split": _q_train_split,
+        "lsh_ann": _q_lsh_ann,
     }
 
 
@@ -1244,4 +1264,5 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_spans": _oracle_tokenize_spans(),
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "train_split": _oracle_train_split(),
+        "lsh_ann": _oracle_lsh_ann(),
     }

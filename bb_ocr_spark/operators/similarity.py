@@ -100,42 +100,29 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = config.SEED):
 def signature_col(vec: Column, planes) -> Column:
     """P-bit signature as a long: bit p = sign(vec · plane_p) >= 0.
     planes is a driver-side numpy array folded into literal expressions —
-    constant-folded by Catalyst, broadcast with the plan."""
-    def plane_dot(plane) -> Column:
-        lit_plane = F.lit(plane.tolist())
-        return F.aggregate(
-            F.transform(
-                vec,
-                lambda x, i: x.cast("double")
-                * F.element_at(lit_plane, i.cast("int") + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    bits = []
-    for p, plane in enumerate(planes):
-        dot = plane_dot(plane)
-        bits.append(F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    constant-folded by Catalyst, broadcast with the plan. Derived from the
+    rounded dots array so a SQL oracle reproduces it bit-for-bit."""
+    return _sig_from_dots(_plane_dots_col(vec, planes), len(planes))
 
 
 def _plane_dots_col(vec: Column, planes) -> Column:
-    """array<double> of dot(vec, plane_p) for every hyperplane."""
+    """array<double> of dot(vec, plane_p) for every hyperplane, rounded to
+    9 decimals so signature bits and probe order are reproducible across
+    engines with different float summation orders."""
 
     def plane_dot(plane) -> Column:
         lit_plane = F.lit(plane.tolist())
-        return F.aggregate(
-            F.transform(
-                vec,
-                lambda x, i: x.cast("double")
-                * F.element_at(lit_plane, i.cast("int") + 1),
+        return F.round(
+            F.aggregate(
+                F.transform(
+                    vec,
+                    lambda x, i: x.cast("double")
+                    * F.element_at(lit_plane, i.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            9,
         )
 
     return F.array(*[plane_dot(p) for p in planes])
@@ -396,6 +383,65 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+def lsh_oracle_sql(
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    n_probe: int = 3,
+    max_query_id: int = 10,
+    table: str = "embeddings",
+    seed: int = config.SEED,
+) -> str:
+    """DuckDB SQL recomputing lsh_topk EXACTLY: the seeded hyperplanes are
+    regenerated (same numpy RNG) and folded in as literals; signature
+    bits, margin-ordered multi-probe bit flips (ties to the lower plane),
+    and the exact cosine re-rank mirror the Spark expressions including
+    the round-9 dot stabilization. A green row verifies the whole
+    multi-probe ANN mechanism, not just its output shape."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    ds_terms = ", ".join(
+        "round(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(float(v)) for v in p)
+        + "]), 9)"
+        for p in planes
+    )
+    powers = ", ".join(str(1 << p) for p in range(n_planes))
+    sig_terms = " + ".join(
+        f"(CASE WHEN ds[{p + 1}] >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH dots AS (
+  SELECT vec_id, embedding, [{ds_terms}] AS ds FROM {table}
+), sigs AS (
+  SELECT vec_id, embedding, ds, CAST({sig_terms} AS BIGINT) AS sig FROM dots
+), q_flips AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         xor(sig, w) AS probe
+  FROM (SELECT vec_id, embedding, sig, unnest(ds) AS d, unnest([{powers}]) AS w
+        FROM sigs)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), w)
+          <= {n_probe - 1}
+), q_probe AS (
+  SELECT vec_id AS query_id, embedding AS qv, sig AS probe
+  FROM sigs WHERE vec_id < {max_query_id}
+  UNION ALL
+  SELECT query_id, qv, probe FROM q_flips WHERE query_id < {max_query_id}
+), scored AS (
+  SELECT p.query_id, s.vec_id,
+         round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                      CAST(s.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM q_probe p JOIN sigs s ON s.sig = p.probe AND s.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
 
 
 def ivf_oracle_sql(
