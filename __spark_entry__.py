@@ -1189,6 +1189,29 @@ def _oracle_lsh_ann() -> str:
     return lsh_oracle_sql(dim=64, k=5, n_planes=10, n_probe=3, max_query_id=10)
 
 
+def _q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding near-dup pairs via LSH bucket self-join + exact-cosine
+    # verification; near-dups planted deterministically in BOTH engines
+    # (scaled copies of vec_id < 25, identical double arithmetic)
+    from bb_ocr_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    allv = emb.unionByName(dup)
+    return embedding_dup_pairs(allv, dim=64, threshold=0.99, n_planes=10)
+
+
+def _oracle_dup_pairs() -> str:
+    from bb_ocr_spark.operators.similarity import dup_pairs_oracle_sql
+
+    return dup_pairs_oracle_sql(dim=64, threshold=0.99, n_planes=10, n_planted=25)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1228,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "train_split": _q_train_split,
         "lsh_ann": _q_lsh_ann,
+        "dup_pairs": _q_dup_pairs,
     }
 
 
@@ -1265,4 +1289,5 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "train_split": _oracle_train_split(),
         "lsh_ann": _oracle_lsh_ann(),
+        "dup_pairs": _oracle_dup_pairs(),
     }

@@ -444,6 +444,51 @@ WHERE rk <= {k}
 """
 
 
+def dup_pairs_oracle_sql(
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 10,
+    n_planted: int = 25,
+    table: str = "embeddings",
+    seed: int = config.SEED,
+) -> str:
+    """DuckDB SQL recomputing the embedding_dup_pairs query (with its
+    planted scaled near-dups): signatures from regenerated plane literals,
+    bucket self-join, exact-cosine verification — the full near-dup
+    mechanism replayed."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def ds_terms(emb: str) -> str:
+        return ", ".join(
+            f"round(list_dot_product(CAST({emb} AS DOUBLE[]), ["
+            + ", ".join(repr(float(v)) for v in p)
+            + "]), 9)"
+            for p in planes
+        )
+
+    sig_terms = " + ".join(
+        f"(CASE WHEN ds[{p + 1}] >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS v
+  FROM {table} WHERE vec_id < {n_planted}
+), dots AS (
+  SELECT vec_id, v, [{ds_terms('v')}] AS ds FROM base
+), sigs AS (
+  SELECT vec_id, v, CAST({sig_terms} AS BIGINT) AS sig FROM dots
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+
+
 def ivf_oracle_sql(
     parquet_path: str,
     n_centroids: int = 16,
