@@ -469,25 +469,16 @@ def paragraph_dedup(
 # --------------------------------------------------------------------------
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
-    """SimHash fingerprint: per-token xxhash64, majority vote per bit.
-    Pure expressions: for each bit, count tokens with the bit set vs total."""
+def simhash_col(text: Column, bits: int = 63) -> Column:
+    """SimHash fingerprint: per-token xxhash64, majority vote per bit,
+    via the single-aggregate counter core (_simhash_from_hashes) — the
+    token-hash transform appears ONCE in the counts pass instead of once
+    per bit (the round-1 63-duplicated-subtree pitfall). 63 bits max:
+    the sign bit stays 0. Prefer simhash_md5_df when a SQL oracle must
+    reproduce the value."""
     toks = tokens_col(text)
-    n = F.size(toks)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit(i: int) -> Column:
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-
-    expr = F.lit(0).cast("long")
-    for i in range(bits - 1):  # top bit left 0: avoids int64 sign games
-        expr = expr + F.shiftleft(bit(i), i)
-    return expr
+    return _simhash_from_hashes(hashes, F.size(toks), min(bits, 63))
 
 
 def hamming64(a: Column, b: Column) -> Column:
