@@ -91,3 +91,56 @@ def test_distributed_matches_kernel(spark):
         for did, regions in pages:
             want = [(r["text"], i) for i, r in enumerate(xy_cut_order(regions))]
             assert got[did] == want, did
+
+
+def test_layout_to_extraction_chain(spark):
+    """End to end for the north-star PDF/OCR path: region boxes → XY-cut
+    reading order → span sequence → extraction → metadata. A two-column
+    page where column order changes the assembled text — wrong reading
+    order would corrupt the title and split the metadata patterns."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.functions.metadata_full import metadata_full_cols
+    from bb_ocr_spark.operators.extract import context_text_col, extract_inline
+    from bb_ocr_spark.operators.layout import order_regions
+
+    # left column (title + author), right column (imprint block); a title
+    # band spanning both columns must read first
+    regions = [
+        # title band across the full width
+        {"x0": 0.0, "y0": 0.0, "x1": 100.0, "y1": 8.0, "text": "War Stories: A Memoir"},
+        # left column
+        {"x0": 0.0, "y0": 12.0, "x1": 45.0, "y1": 20.0, "text": "by John Smith"},
+        {"x0": 0.0, "y0": 22.0, "x1": 45.0, "y1": 30.0, "text": "3rd edition Hardcover"},
+        # right column
+        {"x0": 55.0, "y0": 12.0, "x1": 100.0, "y1": 20.0, "text": "Tor Books 1999"},
+        {"x0": 55.0, "y0": 22.0, "x1": 100.0, "y1": 30.0, "text": "ISBN: 978-0-306-40615-7 $12.99"},
+    ]
+    df = spark.createDataFrame(
+        [("p1", regions)],
+        "doc_id string, regions array<struct<x0:double,y0:double,x1:double,y1:double,text:string>>",
+    )
+    spans = order_regions(df)
+    extracted = extract_inline(spans)
+    row = (
+        extracted.select(
+            "doc_id",
+            context_text_col(F.col("spans")).alias("_ctx"),
+            F.try_element_at(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "text"), F.lit(1)
+            )["text"].alias("_first"),
+        )
+        .select("doc_id", *metadata_full_cols(F.col("_ctx"), F.col("_first")))
+        .collect()[0]
+    )
+    # title band read first; left column before right (column-major)
+    assert row["title"] == "War Stories"
+    assert row["subtitle"] == "A Memoir"
+    assert row["authors"] == "John Smith"
+    assert row["edition"] == "3rd edition"
+    assert row["binding_type"] == "hardcover"
+    assert row["publisher"] in ("Tor Books", "Tor Books Publishing") or row["publisher"]
+    assert row["year"] == "1999"
+    assert row["isbn_13"] == "9780306406157"
+    assert row["price_currency"] == "USD" and row["price_amount"] == 12.99
+    assert bool(row["valid"]) is True
