@@ -1212,6 +1212,43 @@ def _oracle_dup_pairs() -> str:
     return dup_pairs_oracle_sql(dim=64, threshold=0.99, n_planes=10, n_planted=25)
 
 
+def _q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-budget shard assembly via a DISTRIBUTED prefix sum (per-bucket
+    # subtotals + broadcast offsets — no global single-task window); the
+    # oracle checks the exact global-order semantics with a plain window
+    from bb_ocr_spark.functions.text import token_count_col
+    from bb_ocr_spark.operators.packing import assign_shards
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return assign_shards(d, budget=500, key_col="doc_id", bucket_width=64).select(
+        "doc_id",
+        F.col("weight").cast("bigint").alias("weight"),
+        F.col("prefix").cast("bigint").alias("prefix"),
+        "shard_id",
+    )
+
+
+_ORACLE_SHARD_PACKING = r"""
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS weight
+  FROM documents
+), p AS (
+  SELECT doc_id, weight,
+         CAST(coalesce(sum(weight) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prefix
+  FROM w
+)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight, prefix,
+       CAST(floor(prefix / 500) AS BIGINT) AS shard_id
+FROM p
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1252,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "lsh_ann": _q_lsh_ann,
         "dup_pairs": _q_dup_pairs,
+        "shard_packing": _q_shard_packing,
     }
 
 
@@ -1290,4 +1328,5 @@ def oracle_sql() -> dict[str, str]:
         "train_split": _oracle_train_split(),
         "lsh_ann": _oracle_lsh_ann(),
         "dup_pairs": _oracle_dup_pairs(),
+        "shard_packing": _ORACLE_SHARD_PACKING,
     }

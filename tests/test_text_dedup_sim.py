@@ -471,3 +471,24 @@ def test_paragraph_dedup(spark):
     assert out["b"]["n_kept"] == 1 and out["b"]["n_dropped"] == 2
     assert out["c"]["text_dedup"] == "" and out["c"]["n_dropped"] == 1
     assert "d" not in out  # nothing but empties -> filtered before dedup
+
+
+def test_assign_shards(spark):
+    from bb_ocr_spark.operators.packing import assign_shards
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = assign_shards(df, budget=300, bucket_width=32).collect()
+    got = {r["doc_id"]: (r["prefix"], r["shard_id"]) for r in out}
+    # python reference: global-order greedy fill
+    prefix = 0
+    for i, w in rows:
+        assert got[i] == (prefix, prefix // 300), i
+        prefix += w
+    # shard fill: every shard except possibly the last spans >= budget
+    # once the next doc arrives (prefix-based assignment property)
+    n_shards = max(s for _, s in got.values()) + 1
+    assert n_shards == (prefix - rows[-1][1]) // 300 + 1
+    # determinism across parallelism / input partitioning
+    out2 = assign_shards(df.repartition(13), budget=300, bucket_width=32).collect()
+    assert {r["doc_id"]: (r["prefix"], r["shard_id"]) for r in out2} == got
