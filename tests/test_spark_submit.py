@@ -1,0 +1,54 @@
+"""The north-rule packaging contract, actually driven: package the engine
+with make_pyfiles, launch jobs/extract_submit.py through a REAL
+spark-submit (--py-files, cwd outside the repo so only the zip provides
+the package), then resume with a second submit and assert exactly-once
+extraction."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit(args: list[str], cwd: str) -> dict:
+    sub = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(shutil.which("python") or sys.executable)),
+        "bin", "spark-submit",
+    )
+    if not shutil.which("spark-submit"):
+        import pyspark  # fall back to the pyspark-shipped launcher
+
+        sub = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    out = subprocess.run(
+        [sub, "--master", "local[4]",
+         "--py-files", os.path.join(REPO, "dist", "bb_ocr_spark.zip"),
+         os.path.join(REPO, "jobs", "extract_submit.py"), *args],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats_line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(stats_line)
+
+
+def test_spark_submit_roundtrip(tmp_path):
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    inp, outp = str(tmp_path / "corpus"), str(tmp_path / "out")
+    work = str(tmp_path / "work")  # cwd without the repo on sys.path
+    os.makedirs(work)
+    s1 = _spark_submit(
+        ["--input", inp, "--output", outp, "--generate", "300", "--run-id", "r1"],
+        cwd=work,
+    )
+    assert s1["n_docs"] == 300 and s1["resumed_skipped"] == 0
+    # resume: a second submit over the same corpus must be a no-op
+    s2 = _spark_submit(["--input", inp, "--output", outp, "--run-id", "r2"], cwd=work)
+    assert s2["n_docs"] == 0 and s2["resumed_skipped"] == 300
