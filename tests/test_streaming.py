@@ -77,3 +77,40 @@ def test_session_windows(spark, events_dir):
         spans.sort()
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert e1 <= s2, "overlapping sessions for one user"
+
+
+def test_streaming_extraction_equals_batch(spark, tmp_path):
+    # the extraction hot path run under Structured Streaming (file source,
+    # availableNow) must produce byte-identical span checksums to batch
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark import datagen
+    from bb_ocr_spark.operators.extract import checksum_spans_col, extract_inline
+    from bb_ocr_spark.streaming.extract_stream import (
+        extract_stream,
+        read_documents_stream,
+    )
+
+    path = str(tmp_path / "docs")
+    datagen.generate_df(spark, 200, partitions=4).write.parquet(path)
+
+    out = extract_stream(read_documents_stream(spark, path))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ext_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["checksum"]
+        for r in spark.sql("SELECT doc_id, checksum FROM ext_stream").collect()
+    }
+    batch = {
+        r["doc_id"]: r["checksum"]
+        for r in extract_inline(spark.read.parquet(path))
+        .withColumn("checksum", checksum_spans_col(F.col("spans")))
+        .collect()
+    }
+    assert got == batch and len(got) == 200
