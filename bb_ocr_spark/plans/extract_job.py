@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import checksum_spans_col, extract_inline
+from .snapshots import commit_snapshot
 from .task_metrics import per_task_durations
 
 RESULTS = "results"
@@ -137,11 +138,17 @@ def run_extract_job(
     n_docs = committed.count()
     if done is not None:
         skipped = done.count()
+    # snapshot commit (Iceberg-analog): manifest chains to the parent and
+    # the CURRENT pointer swaps atomically — time-travel readers see
+    # exactly the runs committed at a snapshot (plans/snapshots.py)
+    run_ck = committed.selectExpr("bit_xor(checksum)").collect()[0][0]
+    snap = commit_snapshot(output_dir, run_id, n_docs, run_ck or 0)
     return {
         "run_id": run_id,
         "n_docs": n_docs,
         "wall_ms": int((time.monotonic() - t0) * 1000),
         "resumed_skipped": skipped,
+        "snapshot_id": snap["snapshot_id"],
     }
 
 

@@ -64,3 +64,24 @@ def test_noop_rerun(spark, tmp_path):
     s = run_extract_job(spark, df, out, run_id="b")
     assert s["n_docs"] == 0, "fully-completed input must be a no-op"
     assert read_results(spark, out).count() == 20
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    import os
+
+    from bb_ocr_spark.plans.snapshots import current_snapshot, read_results_as_of
+
+    out = str(tmp_path / "job")
+    df = datagen.generate_df(spark, 60, partitions=4)
+    s1 = run_extract_job(spark, df.limit(40), out, run_id="a")
+    s2 = run_extract_job(spark, df, out, run_id="b")
+    assert (s1["snapshot_id"], s2["snapshot_id"]) == (1, 2)
+    cur = current_snapshot(out)
+    assert cur["snapshot_id"] == 2 and cur["run_ids"] == ["a", "b"]
+    assert cur["n_docs_total"] == 60
+    # time travel: snapshot 1 sees only run a's docs
+    assert read_results_as_of(spark, out, 1).count() == s1["n_docs"]
+    assert read_results_as_of(spark, out, 2).count() == 60
+    # a crashed (uncommitted) run directory is invisible to snapshot reads
+    os.makedirs(os.path.join(out, "results", "run_id=crashed"))
+    assert read_results_as_of(spark, out, 2).count() == 60
