@@ -39,7 +39,13 @@ def enrich_and_price(meta: DataFrame, offers: DataFrame) -> DataFrame:
 
 
 def run_full_pipeline(html_df: DataFrame, offers: DataFrame) -> dict[str, DataFrame]:
-    """Returns every intermediate table (caller picks sinks)."""
+    """Returns every intermediate table (caller picks sinks).
+
+    `metadata` is the compact 6-field record the enrichment join consumes;
+    `metadata_full` is the complete 16-field schema of the reference
+    (enhanced_extractor.py:57-92) for downstream consumers."""
+    from ..functions.metadata import extract_metadata_full_df  # noqa: PLC0415
+
     interleaved = html_to_interleaved(html_df)
     extracted = extract_inline(interleaved)
     meta = interleaved_to_metadata(interleaved)
@@ -48,5 +54,6 @@ def run_full_pipeline(html_df: DataFrame, offers: DataFrame) -> dict[str, DataFr
         "interleaved": interleaved,
         "extracted": extracted,
         "metadata": meta,
+        "metadata_full": extract_metadata_full_df(interleaved),
         "priced": priced,
     }

@@ -60,3 +60,25 @@ def test_full_pipeline(spark):
             if md["publisher"] is None:
                 assert priced[did]["publisher"] == "PlantedPub"
     assert n_matched >= 3
+
+
+def test_full_pipeline_metadata_full(spark):
+    # the 16-field record is produced alongside, golden-equal to the
+    # frozen full-schema oracle over the tokenized spans
+    html = datagen.generate_html_df(spark, 40, partitions=2)
+    out = run_full_pipeline(html, _empty_offers(spark))
+    got = {r["doc_id"]: r.asDict() for r in out["metadata_full"].collect()}
+    for i in range(40):
+        did, h = datagen.gen_html_doc(i)
+        want = oracle.extract_metadata_full(tokenize_html_oracle(h))
+        for k, v in want.items():
+            assert got[did][k] == v, (did, k, got[did][k], v)
+
+
+def _empty_offers(spark):
+    return spark.createDataFrame(
+        [],
+        "provider string, listing_id string, title string, authors array<string>, "
+        "publisher string, publication_date string, isbn_13 string, isbn_10 string, "
+        "currency string, amount double, url string",
+    )
