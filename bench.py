@@ -59,12 +59,20 @@ def prepare(spark) -> tuple[str, str]:
     return spans_path, html_path
 
 
+_SPARK = None  # set in main(); timed() clears persisted data between runs
+
+
 def timed(fn, repeats: int = 2) -> float:
     """min-of-N wall time: the first run pays cold OS page cache + JIT, so
     a single sample is hostage to 2-6x measured host noise (BENCH/
-    BASELINE.md); the min is the reproducible number."""
+    BASELINE.md); the min is the reproducible number. Spark-persisted
+    data is cleared between repeats — operators that persist internal
+    subplans (minhash signatures, the ngram inverted index) must pay
+    their full cost in every sample, not coast on the previous run."""
     best = float("inf")
     for _ in range(repeats):
+        if _SPARK is not None:
+            _SPARK.catalog.clearCache()
         t0 = time.monotonic()
         fn()
         best = min(best, time.monotonic() - t0)
@@ -72,7 +80,9 @@ def timed(fn, repeats: int = 2) -> float:
 
 
 def main() -> None:
+    global _SPARK
     spark = get_spark("bb_ocr_bench", cores=CPUS, shuffle_partitions=CPUS)
+    _SPARK = spark
     spans_path, html_path = prepare(spark)
     spans_df = spark.read.parquet(spans_path)
     html_df = spark.read.parquet(html_path)
