@@ -37,3 +37,18 @@ def have_iceberg(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+DOCS_JSONL_DDL = "doc_id string, text string, lang string, source string"
+
+
+def load_documents_jsonl(
+    spark: SparkSession, path: str, schema: str = DOCS_JSONL_DDL
+) -> DataFrame:
+    """Raw-corpus ingestion from JSON Lines (the common pretraining dump
+    format). An EXPLICIT schema is mandatory at scale: schema inference
+    runs a full extra pass over 100 TB and silently widens types on dirty
+    records; with a fixed schema, corrupt lines surface as NULL columns
+    (Spark's PERMISSIVE mode) instead of failing the job — filter
+    `text IS NULL` into a quarantine sink rather than crashing."""
+    return spark.read.schema(schema).json(path)

@@ -85,3 +85,21 @@ def test_snapshot_time_travel(spark, tmp_path):
     # a crashed (uncommitted) run directory is invisible to snapshot reads
     os.makedirs(os.path.join(out, "results", "run_id=crashed"))
     assert read_results_as_of(spark, out, 2).count() == 60
+
+
+def test_jsonl_ingestion(spark, tmp_path):
+    import json
+
+    from bb_ocr_spark.sources.tables import load_documents_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps({"doc_id": "a", "text": "hello world", "lang": "en", "source": "web"}),
+        json.dumps({"doc_id": "b", "text": "zweite zeile", "lang": "de", "source": "web"}),
+        '{"doc_id": "c", "text": BROKEN',  # corrupt line -> NULL columns, no crash
+    ]
+    p.write_text("\n".join(lines))
+    df = load_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["a"]["text"] == "hello world" and rows["b"]["lang"] == "de"
+    assert df.count() == 3 and df.filter("text IS NULL").count() == 1
