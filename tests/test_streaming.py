@@ -114,3 +114,44 @@ def test_streaming_extraction_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) == 200
+
+
+def test_streaming_commit_snapshot_chain(spark, tmp_path):
+    # continuous extraction with the batch commit contract: each
+    # availableNow pass over NEW files appends a run + snapshot; the file
+    # source checkpoint is the streaming analog of anti-join resume
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark import datagen
+    from bb_ocr_spark.operators.extract import checksum_spans_col, extract_inline
+    from bb_ocr_spark.plans.snapshots import current_snapshot, read_results_as_of
+    from bb_ocr_spark.streaming.extract_stream import run_extract_stream
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    full = datagen.generate_df(spark, 120, partitions=4)
+    full.filter(F.col("doc_id") < datagen.doc_id_of(70)).write.parquet(docs_dir)
+
+    run_extract_stream(spark, docs_dir, out, ckpt)
+    s1 = current_snapshot(out)
+    assert s1 is not None and s1["n_docs_total"] == 70
+
+    # new files land; a second pass over the SAME checkpoint processes
+    # only them and chains a second snapshot
+    full.filter(F.col("doc_id") >= datagen.doc_id_of(70)).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    run_extract_stream(spark, docs_dir, out, ckpt)
+    s2 = current_snapshot(out)
+    assert s2["snapshot_id"] == s1["snapshot_id"] + 1
+    assert s2["n_docs_total"] == 120
+
+    # snapshot reads reconcile with a one-shot batch run, checksum-exact
+    got = read_results_as_of(spark, out, s2["snapshot_id"])
+    batch = extract_inline(full).withColumn(
+        "checksum", checksum_spans_col(F.col("spans"))
+    )
+    a = {r["doc_id"]: r["checksum"] for r in got.select("doc_id", "checksum").collect()}
+    b = {r["doc_id"]: r["checksum"] for r in batch.select("doc_id", "checksum").collect()}
+    assert a == b and len(a) == 120
