@@ -59,3 +59,94 @@ def seq_numbered_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# the same operator on Spark 4's transformWithStateInPandas API
+# --------------------------------------------------------------------------
+
+
+def have_tws() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; this image does not ship google.protobuf (and installs are
+    not possible here), so the TWS form is availability-gated exactly
+    like the media codec stubs."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def seq_numbered_stream_tws(events: DataFrame) -> DataFrame:
+    """Identical semantics to seq_numbered_stream, on the modern
+    arbitrary-state API (transformWithStateInPandas): state is a typed
+    ValueState handle instead of a packed tuple, timers replace the
+    timeout conf, and the processor is an object with an explicit
+    lifecycle — the shape new stateful operators should take on Spark 4.
+    Output equality with the applyInPandasWithState form is asserted in
+    tests when the runtime supports it (see have_tws)."""
+    if not have_tws():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires protobuf, absent in this "
+            "image — use seq_numbered_stream (applyInPandasWithState)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("seq", LongType()),
+            StructField("cnt", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    class SeqProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("seq_state", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # noqa: PLC0415
+
+            if self._state.exists():
+                seq, cnt, total = self._state.get()
+            else:
+                seq, cnt, total = 0, 0, 0.0
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                out = []
+                for _, row in pdf.iterrows():
+                    seq += 1
+                    cnt += 1
+                    total += float(row["value"])
+                    out.append(
+                        (key[0], int(row["event_id"]), seq, cnt, round(total, 2))
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id", "event_id", "seq",
+                        "running_count", "running_value",
+                    ],
+                )
+            self._state.update((seq, cnt, total))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeqProcessor(),
+        outputStructType=OUTPUT_DDL,
+        outputMode="append",
+        timeMode="None",
+    )
