@@ -134,7 +134,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("tok")
         )
-        inv = inv.join(F.broadcast(hot), "tok", "left_anti")
+        # no broadcast HINT: the hot set is tiny on real corpora
+        # (<= |occurrences|/max_df entries), and AQE broadcasts it
+        # automatically when under threshold — a forced hint would OOM the
+        # driver on a pathological corpus with billions of hot shingles
+        inv = inv.join(hot, "tok", "left_anti")
     # set sizes over the (possibly capped) sets so the ratio stays a true
     # Jaccard over exactly the sets being intersected
     sized = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -339,7 +343,8 @@ def minhash_lsh_pairs(
             .filter(F.col("sz") > max_bucket)
             .select("band", "bucket")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        # AQE broadcasts the (tiny) hot set when safe; no forced hint
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     # estimate BEFORE the pair dedup so the dedup shuffle moves
     # (id, id, double) rows, not two 64-slot signature arrays per row
     est = F.round(

@@ -138,8 +138,9 @@ def candidate_pairs_by_token(
             .filter(F.col("df") > max_df)
             .select("tok")
         )
-        m_tok = m_tok.join(F.broadcast(hot), "tok", "left_anti")
-        o_tok = o_tok.join(F.broadcast(hot), "tok", "left_anti")
+        # AQE broadcasts the (tiny) hot set when safe; no forced hint
+        m_tok = m_tok.join(hot, "tok", "left_anti")
+        o_tok = o_tok.join(hot, "tok", "left_anti")
     return (
         m_tok.join(o_tok, "tok")
         .groupBy("doc_id", "listing_id")  # distinct pairs; keeps token arrays

@@ -288,14 +288,20 @@ def sample_video_frames(
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 try:
+                    # frame slicing stays INSIDE the guard: a truncated
+                    # container passes the header parse but fails the
+                    # per-frame reshape — that too must isolate as an
+                    # error row, never kill the task
                     w, h, n, frame = fake_decode_video(bytes(content))
+                    sampled = [
+                        (i, frame(i)) for i in frame_sample_plan(n, every_n)
+                    ]
                 except Exception as e:
                     if on_error == "fail":
                         raise
                     rows.append((ref, None, None, None, None, None, str(e)))
                     continue
-                for i in frame_sample_plan(n, every_n):
-                    arr = frame(i)
+                for i, arr in sampled:
                     rows.append(
                         (
                             ref,
