@@ -1,0 +1,92 @@
+"""Corpus curation: the 100 TB pretraining-preparation job as one plan.
+
+    documents ──quality──▶ keep/drop (Gopher/C4-style signals)
+              ──dedup────▶ exact-dup winners (md5 fingerprint groupBy)
+              ──paradedup▶ cross-corpus paragraph dedup (rebuilt texts)
+              ──split────▶ deterministic train/val/test (md5 buckets)
+              ──pack─────▶ token-budget shards (distributed prefix sum)
+
+Every stage is an operator verified on its own (oracle rows and/or
+goldens); this plan is the composition a real curation run executes, with
+a stats row per stage so attrition is observable (the silent-truncation
+rule: anything dropped is counted, never implied).
+
+Shuffle profile: quality is narrow; exact dedup shuffles md5 keys;
+paragraph dedup shuffles paragraph hashes + doc ids; split is narrow;
+packing shuffles bucket subtotals (tiny) + one parallel window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sampling import split_col
+from ..functions.text import quality_cols, token_count_col
+from ..operators.dedup import exact_dedup, paragraph_dedup
+from ..operators.packing import assign_shards
+
+
+def run_curation(
+    documents: DataFrame,
+    shard_budget_tokens: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """documents(id, text, …) → curated corpus + per-stage tables.
+
+    Returns {quality, kept, dedup_winners, deduped, curated, shards,
+    stats}; `curated` carries (id, text_dedup, n_tokens, split, shard_id).
+    """
+    q = documents.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
+        *quality_cols(F.col(text_col)),
+    )
+    kept = q.filter(F.col("quality_keep")).select("id", "text")
+
+    # exact dedup: min-id winner per normalized-text fingerprint
+    winners = exact_dedup(kept, id_col="id", text_col="text").select(
+        F.col("id"), F.col("dup_count")
+    )
+    uniq = kept.join(winners.select("id"), "id")
+
+    # cross-corpus paragraph dedup over the surviving docs
+    para = paragraph_dedup(uniq, id_col="id", text_col="text")
+
+    curated = para.filter(F.col("n_kept") > 0).select(
+        "id",
+        "text_dedup",
+        token_count_col(F.col("text_dedup")).cast("bigint").alias("n_tokens"),
+        split_col(F.col("id")).alias("split"),
+    )
+    shards = assign_shards(
+        curated.filter(F.col("split") == "train"),
+        budget=shard_budget_tokens,
+        key_col="id",
+        weight_col=F.col("n_tokens"),
+    )
+    curated = curated.join(
+        shards.select("id", "shard_id"), "id", "left"
+    )
+
+    stats = (
+        documents.groupBy()
+        .agg(F.count("*").alias("n_input"))
+        .crossJoin(q.groupBy().agg(
+            F.sum(F.col("quality_keep").cast("long")).alias("n_quality_kept")))
+        .crossJoin(winners.groupBy().agg(
+            F.count("*").alias("n_exact_unique"),
+            F.sum(F.col("dup_count") - 1).alias("n_exact_dropped")))
+        .crossJoin(para.groupBy().agg(
+            F.sum("n_kept").alias("n_paragraphs_kept"),
+            F.sum("n_dropped").alias("n_paragraphs_dropped")))
+    )
+    return {
+        "quality": q,
+        "kept": kept,
+        "dedup_winners": winners,
+        "deduped": para,
+        "curated": curated,
+        "shards": shards,
+        "stats": stats,
+    }

@@ -1,0 +1,40 @@
+"""End-to-end corpus curation: quality -> exact dedup -> paragraph dedup
+-> split -> shard packing, with attrition accounting reconciled."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bb_ocr_spark.plans.curate import run_curation
+
+
+def test_curation_pipeline(spark):
+    rows = []
+    # 60 quality docs (multi-paragraph), 3 exact dup pairs, shared boiler
+    for i in range(60):
+        body = " ".join(f"w{i}_{j} the of and to" for j in range(12))
+        rows.append((i, f"{body}\nsubscribe to our newsletter today"))
+    for i in range(3):  # exact duplicates of docs 0..2 (normalized-equal)
+        rows.append((100 + i, rows[i][1].upper().lower()))
+    rows.append((200, "x"))  # fails quality (too short)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = run_curation(df, shard_budget_tokens=300)
+    stats = out["stats"].collect()[0]
+    assert stats["n_input"] == 64
+    assert stats["n_quality_kept"] == 63  # short doc dropped
+    assert stats["n_exact_unique"] == 60 and stats["n_exact_dropped"] == 3
+    assert stats["n_paragraphs_dropped"] == 59  # shared boiler kept once
+
+    curated = {r["id"]: r for r in out["curated"].collect()}
+    assert len(curated) == 60
+    assert sum(1 for r in curated.values() if "newsletter" in r["text_dedup"]) == 1
+    splits = {r["split"] for r in curated.values()}
+    assert "train" in splits
+    # every train doc has a shard; shards fill in id order
+    train = [r for r in curated.values() if r["split"] == "train"]
+    assert all(r["shard_id"] is not None for r in train)
+    assert all(r["shard_id"] is None for r in curated.values() if r["split"] != "train")
+    # prefix property: shard ids are non-decreasing in id order over train
+    ordered = [r["shard_id"] for r in sorted(train, key=lambda r: r["id"])]
+    assert ordered == sorted(ordered)
