@@ -1203,13 +1203,19 @@ def _q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     allv = emb.unionByName(dup)
-    return embedding_dup_pairs(allv, dim=64, threshold=0.99, n_planes=10)
+    # bands=2 + max_bucket exercise the full capped+banded pair generator
+    # (the oracle replays the same cap/band rule)
+    return embedding_dup_pairs(
+        allv, dim=64, threshold=0.99, n_planes=10, bands=2, max_bucket=1024
+    )
 
 
 def _oracle_dup_pairs() -> str:
     from bb_ocr_spark.operators.similarity import dup_pairs_oracle_sql
 
-    return dup_pairs_oracle_sql(dim=64, threshold=0.99, n_planes=10, n_planted=25)
+    return dup_pairs_oracle_sql(
+        dim=64, threshold=0.99, n_planes=10, bands=2, max_bucket=1024, n_planted=25
+    )
 
 
 def _q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,7 +1228,7 @@ def _q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", token_count_col(F.col("text")).cast("bigint").alias("n_tokens")
     )
-    return assign_shards(d, budget=500, key_col="doc_id", bucket_width=64).select(
+    return assign_shards(d, budget=500, key_col="doc_id", num_buckets=64).select(
         "doc_id",
         F.col("weight").cast("bigint").alias("weight"),
         F.col("prefix").cast("bigint").alias("prefix"),

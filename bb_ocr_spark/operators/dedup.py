@@ -123,10 +123,11 @@ def ngram_jaccard_pairs(
     )
     # the inverted index feeds the df pre-pass, both self-join sides, and
     # the set-size aggregation — persist so tokenize+hash runs once
-    # (production materializes this as a table; MEMORY_AND_DISK spills)
-    from pyspark import StorageLevel  # noqa: PLC0415
+    # (production materializes this as a table; MEMORY_AND_DISK spills).
+    # Tracked: callers release via bb_ocr_spark.cache.release_persisted()
+    from ..cache import track_persist  # noqa: PLC0415
 
-    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    inv = track_persist(inv)
     if max_df is not None:
         hot = (
             inv.groupBy("tok")
@@ -313,10 +314,11 @@ def minhash_lsh_pairs(
     # pre-pass, both self-join sides) and Spark cannot CSE across
     # self-joins — persist so the (expensive) signature computation runs
     # once; production pipelines materialize signatures as a table for the
-    # same reason, MEMORY_AND_DISK spills rather than OOMs at scale
-    from pyspark import StorageLevel  # noqa: PLC0415
+    # same reason, MEMORY_AND_DISK spills rather than OOMs at scale.
+    # Tracked: callers release via bb_ocr_spark.cache.release_persisted()
+    from ..cache import track_persist  # noqa: PLC0415
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = track_persist(sigs)
     # bucket id = xxhash64 of the band index + the band's r slot LONGS —
     # no per-band string building (concat_ws of slot strings cost ~2x)
     banded = sigs.select(

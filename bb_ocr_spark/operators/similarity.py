@@ -218,30 +218,83 @@ def lsh_topk(
     )
 
 
+def _band_seed(seed: int, band: int) -> int:
+    """Per-band hyperplane seed; band 0 keeps the base seed so bands=1 is
+    bit-compatible with the unbanded operator."""
+    return seed + band * 7919
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 10,
+    bands: int = 1,
+    max_bucket: int | None = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = config.SEED,
 ) -> DataFrame:
-    """Near-duplicate (a < b) pairs with cosine >= threshold, candidates via
+    """Near-duplicate (a < b) pairs with cosine >= threshold: candidates via
     LSH bucket self-join (near-identical vectors agree on every hyperplane
-    sign with high probability)."""
-    b = with_lsh_buckets(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-        dim,
-        n_planes,
-        "vec",
-    )
+    sign with high probability), exact-cosine verified.
+
+    bands — independent hyperplane sets (seeded per band): a pair is a
+    candidate if it collides in ANY band, so per-band recall shortfalls
+    multiply away ((1-p)^bands miss probability) and a bucket capped in one
+    band keeps its true pairs through the others.
+
+    max_bucket — bucket-size cap, same rationale as minhash_lsh_pairs: a
+    dense near-dup CLUSTER (the exact thing this operator finds) puts k
+    members in one bucket and the self-join emits k(k-1)/2 pairs; at 10^9
+    vectors even uniform hashing makes single buckets quadratic. Buckets
+    over the cap are dropped per band BEFORE pairing (the hot set is tiny
+    and stays broadcastable). Note a cluster larger than max_bucket shares
+    buckets in EVERY band (its members agree on all plane signs), so its
+    pairs are intentionally suppressed, not recovered — size the cap above
+    the largest dup cluster whose full pair list you actually want, and
+    read the capped clusters from the hot-bucket set instead of as pairs.
+    None disables.
+
+    The bucketed frame feeds the hot-bucket pre-pass plus both self-join
+    sides (no CSE across self-joins) — persisted via cache.track_persist;
+    call cache.release_persisted() after the consuming action."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bucket_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            signature_col(
+                F.col("vec"), _hyperplanes(dim, n_planes, _band_seed(seed, band))
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    b = base.select(
+        "id", "vec", F.explode(F.array(*bucket_structs)).alias("bk")
+    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    from ..cache import track_persist  # noqa: PLC0415
+
+    b = track_persist(b)
+    if max_bucket is not None:
+        hot = (
+            b.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band", "bucket")
+        )
+        # AQE broadcasts the (tiny) hot set when safe; no forced hint
+        b = b.join(hot, ["band", "bucket"], "left_anti")
     return (
         b.alias("a")
-        .join(b.alias("b"), "bucket")
+        .join(b.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .withColumn("cosine", cosine_col(F.col("a.vec"), F.col("b.vec")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        # a pair colliding in several bands appears once; dedup AFTER the
+        # verify so the dedup shuffle moves (id, id, double) rows, not two
+        # dim-wide vectors per row
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -448,17 +501,19 @@ def dup_pairs_oracle_sql(
     dim: int,
     threshold: float = 0.99,
     n_planes: int = 10,
+    bands: int = 1,
+    max_bucket: int | None = 1024,
     n_planted: int = 25,
     table: str = "embeddings",
     seed: int = config.SEED,
 ) -> str:
     """DuckDB SQL recomputing the embedding_dup_pairs query (with its
-    planted scaled near-dups): signatures from regenerated plane literals,
-    bucket self-join, exact-cosine verification — the full near-dup
-    mechanism replayed."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    planted scaled near-dups): per-band signatures from regenerated plane
+    literals, the hot-bucket cap, the banded bucket self-join, exact-cosine
+    verification, and the cross-band pair dedup — the full capped+banded
+    near-dup mechanism replayed."""
 
-    def ds_terms(emb: str) -> str:
+    def ds_terms(emb: str, planes) -> str:
         return ", ".join(
             f"round(list_dot_product(CAST({emb} AS DOUBLE[]), ["
             + ", ".join(repr(float(v)) for v in p)
@@ -470,6 +525,24 @@ def dup_pairs_oracle_sql(
         f"(CASE WHEN ds[{p + 1}] >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
+    band_sigs = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id, v, {band} AS band, CAST({sig_terms} AS BIGINT) AS bucket
+  FROM (SELECT vec_id, v,
+               [{ds_terms('v', _hyperplanes(dim, n_planes, _band_seed(seed, band)))}]
+                 AS ds FROM base)"""
+        for band in range(bands)
+    )
+    cap_cte = (
+        f"""kept AS (
+  SELECT s.* FROM sigs s
+  LEFT JOIN (SELECT band, bucket FROM sigs
+             GROUP BY band, bucket HAVING count(*) > {max_bucket}) h
+    ON s.band = h.band AND s.bucket = h.bucket
+  WHERE h.band IS NULL
+)"""
+        if max_bucket is not None
+        else "kept AS (SELECT * FROM sigs)"
+    )
     return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
@@ -477,15 +550,20 @@ WITH base AS (
   SELECT vec_id + 100000 AS vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS v
   FROM {table} WHERE vec_id < {n_planted}
-), dots AS (
-  SELECT vec_id, v, [{ds_terms('v')}] AS ds FROM base
 ), sigs AS (
-  SELECT vec_id, v, CAST({sig_terms} AS BIGINT) AS sig FROM dots
+{band_sigs}
+), {cap_cte},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+SELECT p.id_a, p.id_b,
+       round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+FROM pairs p
+JOIN base x ON x.vec_id = p.id_a
+JOIN base y ON y.vec_id = p.id_b
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
 """
 
 

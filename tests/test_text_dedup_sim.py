@@ -292,6 +292,37 @@ def test_embedding_dup_pairs(spark, sf_dir):
         assert (i, i + 100000) in found
 
 
+def test_embedding_dup_pairs_bucket_cap(spark):
+    # degenerate bucket: 10^3 IDENTICAL vectors land in one bucket in EVERY
+    # band; uncapped, the self-join emits ~5*10^5 pairs (the quadratic
+    # blowup a dense dup cluster causes at corpus scale). With max_bucket
+    # the hot bucket is dropped per band before pairing, while a small
+    # planted near-dup pair elsewhere keeps colliding and is still found.
+    import math
+
+    dim = 8
+    cluster_v = [1.0] * dim
+    other_v = [math.sin(i + 1) for i in range(dim)]
+    rows = [(i, cluster_v) for i in range(1000)]
+    rows += [(2000, other_v), (2001, [x * 1.001 for x in other_v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = embedding_dup_pairs(
+        df, dim=dim, threshold=0.999, n_planes=6, bands=2, max_bucket=100
+    )
+    found = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (2000, 2001) in found
+    assert not any(a < 1000 and b < 1000 for a, b in found), (
+        "capped cluster must not emit quadratic pairs"
+    )
+
+    # sanity that the cap is what prevented the blowup
+    uncapped = embedding_dup_pairs(
+        df, dim=dim, threshold=0.999, n_planes=6, bands=1, max_bucket=None
+    )
+    assert uncapped.count() == 1000 * 999 // 2 + 1
+
+
 # --------------------------------------------------------------------------
 # hot-key caps (frequent-shingle / degenerate-bucket quadratic blowup)
 # --------------------------------------------------------------------------
@@ -478,7 +509,7 @@ def test_assign_shards(spark):
 
     rows = [(i, 10 + (i * 7) % 90) for i in range(400)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
-    out = assign_shards(df, budget=300, bucket_width=32).collect()
+    out = assign_shards(df, budget=300, num_buckets=32).collect()
     got = {r["doc_id"]: (r["prefix"], r["shard_id"]) for r in out}
     # python reference: global-order greedy fill
     prefix = 0
@@ -490,5 +521,51 @@ def test_assign_shards(spark):
     n_shards = max(s for _, s in got.values()) + 1
     assert n_shards == (prefix - rows[-1][1]) // 300 + 1
     # determinism across parallelism / input partitioning
-    out2 = assign_shards(df.repartition(13), budget=300, bucket_width=32).collect()
+    out2 = assign_shards(df.repartition(13), budget=300, num_buckets=32).collect()
     assert {r["doc_id"]: (r["prefix"], r["shard_id"]) for r in out2} == got
+
+
+def test_assign_shards_string_keys(spark):
+    # regression: the old floor(cast(key AS long)/width) bucketing NULLed
+    # string keys and the bucket equi-join silently dropped the whole
+    # corpus — datagen's own "doc_%09d" format triggered it
+    from bb_ocr_spark.operators.packing import assign_shards
+
+    rows = [(f"doc_{i:09d}", 10 + (i * 7) % 90) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = assign_shards(df, budget=300, num_buckets=16).collect()
+    assert len(out) == 400, "string-keyed corpus must not be dropped"
+    got = {r["doc_id"]: (r["prefix"], r["shard_id"]) for r in out}
+    prefix = 0
+    for k, w in rows:  # zero-padded ids: lexicographic == numeric order
+        assert got[k] == (prefix, prefix // 300), k
+        prefix += w
+    assert all(r["shard_id"] is not None for r in out)
+
+
+def test_assign_shards_recursive_levels(spark):
+    # levels=2 (recursive bucket-subtotal prefix) must be value-identical
+    # to levels=1 and deterministic across parallelism
+    from bb_ocr_spark.operators.packing import assign_shards
+
+    rows = [(i, 1 + (i * 13) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ref = {
+        r["doc_id"]: (r["prefix"], r["shard_id"])
+        for r in assign_shards(df, budget=200, num_buckets=16).collect()
+    }
+    # fanout=4 over 16 buckets forces real recursion (4 super-buckets)
+    two = {
+        r["doc_id"]: (r["prefix"], r["shard_id"])
+        for r in assign_shards(
+            df, budget=200, num_buckets=16, levels=2, fanout=4
+        ).collect()
+    }
+    assert two == ref
+    two_rep = {
+        r["doc_id"]: (r["prefix"], r["shard_id"])
+        for r in assign_shards(
+            df.repartition(11), budget=200, num_buckets=16, levels=2, fanout=4
+        ).collect()
+    }
+    assert two_rep == ref
