@@ -424,6 +424,8 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    salt_threshold: int = config.BIG_DOC_SPAN_THRESHOLD,
+    salt_buckets: int = config.ASSEMBLY_SALT_BUCKETS,
 ) -> DataFrame:
     """Corpus-wide paragraph dedup: each exact paragraph (normalized:
     trimmed, ws-squeezed) survives only at its FIRST occurrence — min
@@ -433,12 +435,31 @@ def paragraph_dedup(
 
     Scale shape: explode → aggregate winners on the 8-byte paragraph HASH
     (text never shuffles for the winner pass) → hash-join back → rebuild
-    per doc. Returns (id, text_dedup, n_kept, n_dropped)."""
+    per doc. The rebuild is the same salted two-phase as
+    assemble.assemble_spans: a mega-doc with 10^6 paragraphs would make
+    one collect_list reducer the straggler/OOM, so docs over
+    salt_threshold paragraphs aggregate per (id, pos % salt_buckets)
+    first and flatten per id second — the second shuffle moves ~#docs ×
+    salt_buckets pre-assembled sub-arrays, not #paragraph rows. The salt
+    decision is row-local: n_paras is folded into each row at explode
+    time from the materialized split array (a separate size() projection
+    would be collapsed past the Generate and every exploded row would
+    carry the whole array — the O(n²) Generate-carry trap).
+
+    Returns (id, text_dedup, n_kept, n_dropped)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), sep).alias("_arr")
+    )
+    with_n = F.transform(
+        "_arr",
+        lambda p, i: F.struct(
+            i.cast("int").alias("pos"),
+            p.alias("para"),
+            F.size("_arr").alias("n_paras"),
+        ),
+    )
     paras = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-        )
+        base.select("id", F.inline(with_n))
         .withColumn("para", F.regexp_replace(F.trim("para"), r"\s+", " "))
         .filter(F.col("para") != "")
         .withColumn("fp", F.xxhash64("para"))
@@ -449,25 +470,39 @@ def paragraph_dedup(
     kept = paras.join(winners, "fp").withColumn(
         "keep", (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos"))
     )
-    return (
-        kept.groupBy("id")
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "para"))
+    small = (
+        kept.filter(F.col("n_paras") <= salt_threshold)
+        .groupBy("id")
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("keep"), F.struct("pos", "para"))
-                )
-            ).alias("ps"),
+            F.array_sort(F.collect_list(kept_struct)).alias("ps"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
         )
-        .select(
-            "id",
-            F.array_join(F.transform("ps", lambda p: p["para"]), sep).alias(
-                "text_dedup"
-            ),
-            "n_kept",
-            "n_dropped",
+    )
+    phase1 = (
+        kept.filter(F.col("n_paras") > salt_threshold)
+        .withColumn("salt", F.pmod(F.col("pos"), F.lit(salt_buckets)))
+        .groupBy("id", "salt")
+        .agg(
+            F.collect_list(kept_struct).alias("part"),
+            F.sum(F.col("keep").cast("long")).alias("k1"),
+            F.sum((~F.col("keep")).cast("long")).alias("d1"),
         )
+    )
+    big = phase1.groupBy("id").agg(
+        # ONE global per-doc sort — order correctness under salting
+        F.array_sort(F.flatten(F.collect_list("part"))).alias("ps"),
+        F.sum("k1").alias("n_kept"),
+        F.sum("d1").alias("n_dropped"),
+    )
+    return small.unionByName(big).select(
+        "id",
+        F.array_join(F.transform("ps", lambda p: p["para"]), sep).alias(
+            "text_dedup"
+        ),
+        "n_kept",
+        "n_dropped",
     )
 
 

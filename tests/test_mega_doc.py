@@ -68,3 +68,36 @@ def test_mega_doc_both_paths(spark):
         .count()
     )
     assert n_groups == 16
+
+
+def test_mega_doc_paragraph_dedup_salted(spark):
+    # a 10^5-paragraph doc must rebuild through the salted two-phase path
+    # (its rows exceed salt_threshold) with exact first-occurrence
+    # semantics; a small doc sharing paragraphs rides the plain path
+    n = 100_000
+    mega_paras = [f"para {i} tok{i % 977}" for i in range(n)]
+    # plant within-doc repeats: every 1000th paragraph duplicates para 0
+    for i in range(1000, n, 1000):
+        mega_paras[i] = mega_paras[0]
+    small_paras = [mega_paras[3], "unique small paragraph"]
+    rows = [("a_mega", "\n".join(mega_paras)), ("b_small", "\n".join(small_paras))]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    from bb_ocr_spark.operators.dedup import paragraph_dedup
+
+    out = {
+        r["id"]: r
+        for r in paragraph_dedup(
+            df, salt_threshold=512, salt_buckets=16
+        ).collect()
+    }
+    mega = out["a_mega"]
+    dup_count = (n - 1000) // 1000  # planted repeats of para 0
+    assert mega["n_dropped"] == dup_count
+    assert mega["n_kept"] == n - dup_count
+    got = mega["text_dedup"].split("\n")
+    want = [p for i, p in enumerate(mega_paras) if p != mega_paras[0] or i == 0]
+    assert got == want  # original order, first occurrence kept
+    small = out["b_small"]
+    assert small["n_kept"] == 1  # mega doc owns para[3]'s first occurrence
+    assert small["text_dedup"] == "unique small paragraph"
