@@ -1037,9 +1037,19 @@ def _q_tokenize_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), 1, 120), F.lit("</p>"), img, nav, mixed,
     )
     src = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
-    return tokenize_html_expr(src).select(
-        "doc_id", F.inline("spans")
-    ).withColumn("offset", F.col("offset").cast("bigint"))
+    # inline_outer, NOT inline: the optimizer infers a size>0/isnotnull
+    # Filter for a plain inline and re-embeds the whole tokenize expression
+    # into it (and into the pushed Project) — no CSE across Filter/Project,
+    # so the tokenizer ran 3x per row. outer generates infer no filter; the
+    # (impossible: kind is always set) null row from an empty span array is
+    # dropped on the generated attribute instead, and the tokenize
+    # expression appears in the plan exactly once, inside the Generate.
+    return (
+        tokenize_html_expr(src)
+        .select("doc_id", F.inline_outer("spans"))
+        .filter(F.col("kind").isNotNull())
+        .withColumn("offset", F.col("offset").cast("bigint"))
+    )
 
 
 def _oracle_tokenize_spans() -> str:

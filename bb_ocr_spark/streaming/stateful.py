@@ -23,24 +23,46 @@ OUTPUT_DDL = (
 STATE_DDL = "seq bigint, cnt bigint, total double"
 
 
-def _assign_seq(key, pdfs, state: GroupState):
+def _seq_batch(pdf, key0: int, seq: int, cnt: int, total: float):
+    """Vectorized core shared by both stateful APIs: one sorted micro-batch
+    chunk → (output frame, new seq, new cnt, new total). arange/cumsum
+    offset by the carried state — no per-row Python (iterrows on a 10^5
+    -event micro-batch is interpreter-speed; this is Arrow-speed). cumsum
+    accumulates sequentially, so running_value and the carried total are
+    bit-identical to the per-row loop."""
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    pdf = pdf.sort_values(["ts", "event_id"])
+    n = len(pdf)
+    if n == 0:
+        return None, seq, cnt, total
+    idx = np.arange(1, n + 1, dtype="int64")
+    # seed the cumsum with the carried total so the float association is
+    # ((total+v0)+v1)... — bit-identical to the per-row loop it replaced
+    # (total + cumsum(v) would associate differently and can flip a
+    # round-to-2-decimals boundary)
+    run = np.cumsum(
+        np.concatenate(([total], pdf["value"].to_numpy(dtype="float64")))
+    )[1:]
+    out = pd.DataFrame(
+        {
+            "user_id": np.full(n, key0, dtype="int64"),
+            "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+            "seq": seq + idx,
+            "running_count": cnt + idx,
+            "running_value": np.round(run, 2),
+        }
+    )
+    return out, seq + n, cnt + n, float(run[-1])
+
+
+def _assign_seq(key, pdfs, state: GroupState):
     seq, cnt, total = state.get if state.exists else (0, 0, 0.0)
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        out = []
-        for _, row in pdf.iterrows():
-            seq += 1
-            cnt += 1
-            total += float(row["value"])
-            out.append(
-                (key[0], int(row["event_id"]), seq, cnt, round(total, 2))
-            )
-        yield pd.DataFrame(
-            out,
-            columns=["user_id", "event_id", "seq", "running_count", "running_value"],
-        )
+        out, seq, cnt, total = _seq_batch(pdf, key[0], seq, cnt, total)
+        if out is not None:
+            yield out
     state.update((seq, cnt, total))
 
 
@@ -116,29 +138,14 @@ def seq_numbered_stream_tws(events: DataFrame) -> DataFrame:
             self._state = handle.getValueState("seq_state", state_schema)
 
         def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd  # noqa: PLC0415
-
             if self._state.exists():
                 seq, cnt, total = self._state.get()
             else:
                 seq, cnt, total = 0, 0, 0.0
             for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                out = []
-                for _, row in pdf.iterrows():
-                    seq += 1
-                    cnt += 1
-                    total += float(row["value"])
-                    out.append(
-                        (key[0], int(row["event_id"]), seq, cnt, round(total, 2))
-                    )
-                yield pd.DataFrame(
-                    out,
-                    columns=[
-                        "user_id", "event_id", "seq",
-                        "running_count", "running_value",
-                    ],
-                )
+                out, seq, cnt, total = _seq_batch(pdf, key[0], seq, cnt, total)
+                if out is not None:
+                    yield out
             self._state.update((seq, cnt, total))
 
         def close(self) -> None:
