@@ -609,7 +609,27 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bb_ocr_spark.operators.similarity import ivf_topk, train_centroids
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    cents = train_centroids(emb, n_centroids=16)
+    # centroid training data must be the SAME corpus the oracle's generator
+    # reads (_oracle_ivf bakes centroid literals at oracle_sql() time): both
+    # sides resolve through SPARK_GRAFT_ORACLE_SF_DIR when set; when unset
+    # the query trains on its own sf_dir and the oracle on the driver's
+    # default gate dir — warn loudly if those would diverge
+    train_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if train_dir is None:
+        train_dir = sf_dir
+        if os.path.normpath(sf_dir) != os.path.normpath("/root/testdata/sf0.01"):
+            print(
+                "ivf_topk: training centroids on", sf_dir,
+                "— the oracle_sql() model defaults to /root/testdata/sf0.01; "
+                "set SPARK_GRAFT_ORACLE_SF_DIR to gate at this scale",
+                file=sys.stderr,
+            )
+    train_emb = (
+        emb
+        if os.path.normpath(train_dir) == os.path.normpath(sf_dir)
+        else spark.read.parquet(os.path.join(train_dir, "embeddings.parquet"))
+    )
+    cents = train_centroids(train_emb, n_centroids=16)
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_probe=4,
         centroids=cents,

@@ -41,35 +41,75 @@ def current_snapshot(output_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _latest_manifest(output_dir: str) -> dict | None:
+    """Highest-numbered manifest on disk — the commit-time parent. CURRENT
+    is only the READER pointer; using it as the parent would livelock two
+    concurrent committers (the loser keeps re-minting the same id until
+    the winner swaps the pointer) and can lose a commit outright."""
+    d = _snap_dir(output_dir)
+    if not os.path.isdir(d):
+        return None
+    snaps = sorted(
+        n for n in os.listdir(d) if n.startswith("snap-") and n.endswith(".json")
+    )
+    if not snaps:
+        return None
+    with open(os.path.join(d, snaps[-1])) as f:
+        return json.load(f)
+
+
 def commit_snapshot(
     output_dir: str, run_id: str, n_docs: int, checksum: int
 ) -> dict:
     """Append an immutable manifest chaining to the parent, then swap the
     CURRENT pointer atomically. The manifest lists ALL run_ids visible at
     this snapshot (parent's runs + this one), so a reader needs exactly
-    one manifest."""
+    one manifest.
+
+    Concurrency: commit is a CAS, as Iceberg requires — the manifest is
+    fully written to a tmp file and published with os.link() (create-
+    exclusive + atomic); a committer that loses the race on snap-<n>
+    retries against the new parent, so no commit is ever silently lost.
+    Idempotent: a run_id already in the parent chain returns the existing
+    manifest (streaming foreachBatch replays hit this). The CURRENT swap
+    is monotonic (never moves the pointer backwards); between a manifest
+    landing and its pointer swap, readers see the previous snapshot — the
+    same read semantics as an in-flight Iceberg commit."""
     os.makedirs(_snap_dir(output_dir), exist_ok=True)
-    parent = current_snapshot(output_dir)
-    snap_id = (parent["snapshot_id"] + 1) if parent else 1
-    manifest = {
-        "snapshot_id": snap_id,
-        "parent_id": parent["snapshot_id"] if parent else None,
-        "run_ids": (parent["run_ids"] if parent else []) + [run_id],
-        "n_docs_total": (parent["n_docs_total"] if parent else 0) + n_docs,
-        "run_checksum": checksum,
-        "committed_at_ms": int(time.time() * 1000),
-    }
-    name = f"snap-{snap_id:06d}.json"
-    final = os.path.join(_snap_dir(output_dir), name)
-    tmp = final + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, final)  # manifest appears whole or not at all
-    cur_tmp = os.path.join(_snap_dir(output_dir), "CURRENT.tmp")
-    with open(cur_tmp, "w") as f:
-        f.write(name)
-    os.replace(cur_tmp, os.path.join(_snap_dir(output_dir), "CURRENT"))
-    return manifest
+    while True:
+        parent = _latest_manifest(output_dir)
+        if parent and run_id in parent["run_ids"]:
+            return parent  # already committed (replay) — no duplicate entry
+        snap_id = (parent["snapshot_id"] + 1) if parent else 1
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "run_ids": (parent["run_ids"] if parent else []) + [run_id],
+            "n_docs_total": (parent["n_docs_total"] if parent else 0) + n_docs,
+            "run_checksum": checksum,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        name = f"snap-{snap_id:06d}.json"
+        final = os.path.join(_snap_dir(output_dir), name)
+        tmp = f"{final}.tmp-{os.getpid()}-{id(manifest)}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, final)  # the CAS: fails iff snap_id was taken
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race — rebuild against the new parent
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        cur_path = os.path.join(_snap_dir(output_dir), "CURRENT")
+        cur = current_snapshot(output_dir)
+        if cur is None or cur["snapshot_id"] < snap_id:
+            cur_tmp = f"{cur_path}.tmp-{os.getpid()}"
+            with open(cur_tmp, "w") as f:
+                f.write(name)
+            os.replace(cur_tmp, cur_path)
+        return manifest
 
 
 def read_results_as_of(

@@ -29,21 +29,31 @@ class _TaskTimeListener:
 
     def __init__(self, group: str):
         self.group = group
-        self.stages: set[int] = set()
+        self.result_stages: set[int] = set()
         self.durations: dict[int, int] = {}
 
     def onJobStart(self, event):  # noqa: N802 (Java interface name)
         props = event.properties()
         if props is not None and props.getProperty("spark.jobGroup.id") == self.group:
             ids = event.stageIds()
-            for i in range(ids.size()):
-                self.stages.add(ids.apply(i))
+            sids = [ids.apply(i) for i in range(ids.size())]
+            # only the RESULT stage (highest id in the job): its task index
+            # == output partition id; recording every stage would collide
+            # partition indexes from different stages in one dict
+            if sids:
+                self.result_stages.add(max(sids))
 
     def onTaskEnd(self, event):  # noqa: N802
-        if event.stageId() in self.stages:
-            info = event.taskInfo()
-            idx = info.index()
-            # retried tasks: keep the successful (last) attempt's duration
+        if event.stageId() not in self.result_stages:
+            return
+        info = event.taskInfo()
+        # only successful attempts: a failed/killed speculative attempt can
+        # END AFTER the success and must not overwrite it; among duplicate
+        # successes (speculation) the first to finish wins
+        if not info.successful():
+            return
+        idx = info.index()
+        if idx not in self.durations:
             self.durations[idx] = int(info.duration())
 
     def __getattr__(self, name):  # every other listener event: no-op

@@ -37,6 +37,40 @@ def extract_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def commit_batch(
+    spark: SparkSession, output_dir: str, batch_df: DataFrame, run_id: str
+) -> None:
+    """Write one micro-batch's run directory and commit its snapshot —
+    IDEMPOTENT, because foreachBatch is at-least-once: after a crash
+    anywhere between the parquet write and the snapshot commit, the
+    replayed epoch must converge, not fail or double-commit.
+
+      - run dir already complete (_SUCCESS): skip the write (a plain
+        mode('errorifexists') would fail the stream permanently here);
+      - run dir partial (no _SUCCESS — crash mid-write): clear and rewrite;
+      - run_id already in the snapshot chain: commit_snapshot returns the
+        existing manifest instead of appending a duplicate entry.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..plans.snapshots import commit_snapshot  # noqa: PLC0415
+
+    run_dir = os.path.join(output_dir, "results", f"run_id={run_id}")
+    if not os.path.exists(os.path.join(run_dir, "_SUCCESS")):
+        shutil.rmtree(run_dir, ignore_errors=True)  # partial leftovers
+        batch_df.withColumn("part_id", F.spark_partition_id()).write.mode(
+            "errorifexists"
+        ).parquet(run_dir)
+    committed = spark.read.parquet(run_dir)  # lineage from durable data
+    row = committed.selectExpr(
+        "count(*) AS n", "bit_xor(checksum) AS ck"
+    ).collect()[0]
+    commit_snapshot(output_dir, run_id, row["n"], row["ck"] or 0)
+
+
 def run_extract_stream(
     spark: SparkSession,
     input_path: str,
@@ -47,30 +81,16 @@ def run_extract_stream(
     job: every non-empty micro-batch writes a results run directory and
     commits a snapshot manifest (plans/snapshots.py), so time travel and
     lineage hold across streaming and batch runs alike. The file source's
-    checkpoint gives exactly-once input progress — re-running after a
-    stop resumes from unprocessed files, the streaming analog of the
+    checkpoint gives exactly-once input progress; replayed epochs (the
+    at-least-once side of foreachBatch) converge through the idempotent
+    commit_batch — together that is the streaming analog of the
     anti-join resume."""
-    import os  # noqa: PLC0415
-
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    from ..plans.snapshots import commit_snapshot  # noqa: PLC0415
-
     out = extract_stream(read_documents_stream(spark, input_path))
 
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        run_id = f"stream-{epoch_id:06d}"
-        run_dir = os.path.join(output_dir, "results", f"run_id={run_id}")
-        batch_df.withColumn("part_id", F.spark_partition_id()).write.mode(
-            "errorifexists"
-        ).parquet(run_dir)
-        committed = spark.read.parquet(run_dir)  # lineage from durable data
-        row = committed.selectExpr(
-            "count(*) AS n", "bit_xor(checksum) AS ck"
-        ).collect()[0]
-        commit_snapshot(output_dir, run_id, row["n"], row["ck"] or 0)
+        commit_batch(spark, output_dir, batch_df, f"stream-{epoch_id:06d}")
 
     (
         out.writeStream.foreachBatch(commit)

@@ -155,3 +155,74 @@ def test_streaming_commit_snapshot_chain(spark, tmp_path):
     a = {r["doc_id"]: r["checksum"] for r in got.select("doc_id", "checksum").collect()}
     b = {r["doc_id"]: r["checksum"] for r in batch.select("doc_id", "checksum").collect()}
     assert a == b and len(a) == 120
+
+
+def test_commit_snapshot_concurrent_cas(tmp_path):
+    # two committers racing on the same table must not mint the same
+    # snapshot id or lose a commit (Iceberg's CAS requirement); the loser
+    # retries against the new parent
+    import threading
+
+    from bb_ocr_spark.plans.snapshots import commit_snapshot, current_snapshot
+
+    out = str(tmp_path / "tbl")
+    n_threads, per_thread = 8, 5
+    errs = []
+
+    def worker(t):
+        try:
+            for i in range(per_thread):
+                commit_snapshot(out, f"run-{t}-{i}", n_docs=1, checksum=t * 100 + i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    cur = current_snapshot(out)
+    want = {f"run-{t}-{i}" for t in range(n_threads) for i in range(per_thread)}
+    assert set(cur["run_ids"]) == want, "a concurrent commit was lost"
+    assert cur["snapshot_id"] == n_threads * per_thread
+    assert cur["n_docs_total"] == n_threads * per_thread
+
+
+def test_commit_snapshot_replay_idempotent(tmp_path):
+    from bb_ocr_spark.plans.snapshots import commit_snapshot, current_snapshot
+
+    out = str(tmp_path / "tbl")
+    m1 = commit_snapshot(out, "run-a", 10, 111)
+    m2 = commit_snapshot(out, "run-a", 10, 111)  # replay: no new snapshot
+    assert m2["snapshot_id"] == m1["snapshot_id"]
+    assert current_snapshot(out)["run_ids"] == ["run-a"]
+
+
+def test_commit_batch_replay_converges(spark, tmp_path):
+    # foreachBatch is at-least-once: a replayed epoch after (a) a crash
+    # between parquet write and snapshot commit, or (b) a crash after both,
+    # must converge — no errorifexists failure, no duplicate manifest entry
+    import os
+
+    from bb_ocr_spark import datagen
+    from bb_ocr_spark.plans.snapshots import current_snapshot
+    from bb_ocr_spark.streaming.extract_stream import commit_batch, extract_stream
+
+    out = str(tmp_path / "out")
+    batch = extract_stream(datagen.generate_df(spark, 30, partitions=2))
+
+    # (a) partial run dir, no _SUCCESS, no snapshot — simulated crash
+    run_dir = os.path.join(out, "results", "run_id=stream-000000")
+    os.makedirs(run_dir)
+    with open(os.path.join(run_dir, "part-garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    commit_batch(spark, out, batch, "stream-000000")
+    s = current_snapshot(out)
+    assert s["run_ids"] == ["stream-000000"] and s["n_docs_total"] == 30
+
+    # (b) full replay after a successful commit: converges, nothing doubles
+    commit_batch(spark, out, batch, "stream-000000")
+    s2 = current_snapshot(out)
+    assert s2["snapshot_id"] == s["snapshot_id"]
+    assert s2["run_ids"] == ["stream-000000"]
