@@ -151,6 +151,18 @@ def with_lsh_buckets(
     vec_col: str = "embedding",
     seed: int = config.SEED,
 ) -> DataFrame:
+    """Sizing rule: n_planes ≈ log2(corpus_size / target_bucket_size).
+    Expected bucket occupancy is corpus/2^n_planes (uniform-ish for
+    gaussian-like embeddings), and each extra plane both halves the
+    candidate scan AND adds one more sign a true neighbor must match —
+    recall at a fixed probe count falls as planes grow. The defaults here
+    (10-12 planes) are corpus-sized for the sf0.01 test tables (~5k
+    vectors → ~5/bucket); at 10^9 vectors target ~10^3-row buckets with
+    n_planes ≈ log2(10^9/10^3) = 20, and recover the per-plane recall
+    loss with multi-probe (lsh_topk n_probe) or bands
+    (embedding_dup_pairs). Measured, not assumed: see
+    test_lsh_plane_count_sizing (recall + bucket occupancy at 1x vs 4x
+    planes) and test_lsh_multiprobe_recall."""
     planes = _hyperplanes(dim, n_planes, seed)
     return df.withColumn("bucket", signature_col(F.col(vec_col), planes))
 
@@ -405,7 +417,14 @@ def ivf_topk(
     cosine re-ranks within them. Scan cost drops to ~n_probe/n_centroids
     of the corpus. Pass `centroids` from train_centroids() (spherical
     k-means on a corpus sample — the production recipe); default falls
-    back to seeded-random unit vectors (same plan, worse recall)."""
+    back to seeded-random unit vectors (same plan, worse recall).
+
+    Sizing rule: the classical IVF balance point is n_centroids ≈
+    sqrt(corpus_size) (list length ≈ centroid count, so assignment cost
+    and probe cost match); n_centroids=16 here is corpus-sized for the
+    ~5k-vector sf0.01 tables. At 10^9 vectors use ~32k centroids and keep
+    n_probe at 1-5% of them; the plan shape (broadcast centroid literals,
+    hash-partitioned inverted lists, per-list re-rank) is unchanged."""
     from pyspark.sql import Window
 
     cents = _centroids(dim, n_centroids) if centroids is None else centroids

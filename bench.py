@@ -59,6 +59,25 @@ def prepare(spark) -> tuple[str, str]:
     return spans_path, html_path
 
 
+def warm_page_cache(*roots: str) -> None:
+    """One untimed byte-level pass over every input parquet file. Spark's
+    clearCache() drops executor blocks but the OS page cache persists — so
+    without this, whichever timed query FIRST touches a table group after
+    a clear absorbs that group's cold-read cost for everyone (r2 driver
+    run: json_extract swung 0.35→3.6 s on a byte-identical query because
+    it happened to be the first events-table read). Reading the raw bytes
+    here pins all inputs hot before any sample is taken."""
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        while f.read(1 << 22):
+                            pass
+
+
 _SPARK = None  # set in main(); timed() clears persisted data between runs
 
 
@@ -84,6 +103,7 @@ def main() -> None:
     spark = get_spark("bb_ocr_bench", cores=CPUS, shuffle_partitions=CPUS)
     _SPARK = spark
     spans_path, html_path = prepare(spark)
+    warm_page_cache(SF_DIR, "/tmp/bb_ocr_bench")
     spans_df = spark.read.parquet(spans_path)
     html_df = spark.read.parquet(html_path)
 

@@ -569,3 +569,50 @@ def test_assign_shards_recursive_levels(spark):
         ).collect()
     }
     assert two_rep == ref
+
+
+def test_lsh_plane_count_sizing(spark, sf_dir):
+    # the plane-count rule: n_planes ~ log2(corpus / target_bucket).
+    # Right-sized (10 planes for a ~5k corpus -> ~5/bucket) the perturbed
+    # queries keep high recall; at 4x the planes (40 -> 2^40 buckets) every
+    # vector sits alone, perturbations flip several signs, and recall
+    # collapses while the candidate scan shrinks — the tradeoff the sizing
+    # formula in operators/similarity.py navigates.
+    import numpy as np
+    import pandas as pd
+
+    from bb_ocr_spark.operators.similarity import with_lsh_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") < 40).toPandas()
+    rng = np.random.RandomState(11)
+
+    def perturb(v):
+        a = np.asarray(v, dtype="float64")
+        return list(a + 0.12 * np.linalg.norm(a) / 8 * rng.randn(len(a)))
+
+    planted = pd.DataFrame(
+        {
+            "vec_id": src["vec_id"] + 500_000,
+            "embedding": [perturb(v) for v in src["embedding"]],
+            "label": src["label"],
+        }
+    )
+    q_df = spark.createDataFrame(planted)
+
+    def recall(n_planes):
+        out = lsh_topk(emb, q_df, dim=64, k=1, n_planes=n_planes, n_probe=4)
+        top1 = {r["query_id"]: r["vec_id"] for r in out.collect() if r["rk"] == 1}
+        return sum(1 for q, v in top1.items() if v == q - 500_000) / len(src)
+
+    def mean_bucket(n_planes):
+        b = with_lsh_buckets(emb, dim=64, n_planes=n_planes)
+        return (
+            b.groupBy("bucket").count().agg(F.avg("count")).collect()[0][0]
+        )
+
+    r_sized, r_4x = recall(10), recall(40)
+    assert r_sized >= 0.9, f"right-sized recall {r_sized}"
+    assert r_sized >= r_4x, (r_sized, r_4x)
+    # candidate-scan side: 4x planes -> far smaller buckets
+    assert mean_bucket(40) < mean_bucket(10)
