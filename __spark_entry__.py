@@ -1285,6 +1285,243 @@ FROM p
 """
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII masking chain (email → ipv4 → phone → long digit run), counts
+    # measured on the progressively-masked text; payloads synthesized from
+    # doc_id residues in BOTH engines so every pattern class is exercised
+    from bb_ocr_spark.functions.scrub import pii_count_cols, pii_scrub_col
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit(" contact user"), k.cast("string"),
+                F.lit("@example.com or admin@test.org"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit(" server 192.168."), (k % 256).cast("string"),
+                F.lit("."), (k % 100).cast("string"), F.lit(" up"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.lit(" call +1 555-"), F.lpad((k % 1000).cast("string"), 3, "0"),
+                F.lit("-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.lit(" card 4111111111111111 on file")),
+    )
+    from bb_ocr_spark.functions.scrub import PII_CHAIN
+
+    names = [f"n_{name}" for name, _, _ in PII_CHAIN]
+    return d.select(
+        "doc_id",
+        pii_scrub_col(payload).alias("scrubbed"),
+        *[
+            c.cast("bigint").alias(n)
+            for c, n in zip(pii_count_cols(payload), names)
+        ],
+    )
+
+
+def _oracle_pii_scrub() -> str:
+    from bb_ocr_spark.functions.scrub import PII_CHAIN
+
+    synth = """text || CASE
+      WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or admin@test.org'
+      WHEN doc_id % 4 = 1 THEN ' server 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+      WHEN doc_id % 4 = 2 THEN ' call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+      ELSE ' card 4111111111111111 on file' END"""
+    # replay the masking chain: count on stage i's text, then mask
+    ctes = [f"s0 AS (SELECT doc_id, {synth} AS t0 FROM documents)"]
+    for i, (name, pat, repl) in enumerate(PII_CHAIN):
+        ctes.append(
+            f"""s{i + 1} AS (
+  SELECT *, CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) AS n_{name},
+         regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}
+  FROM s{i})"""
+        )
+    last = len(PII_CHAIN)
+    names = ", ".join(f"n_{name}" for name, _, _ in PII_CHAIN)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t{last} AS scrubbed, {names} FROM s{last}"
+    )
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style duplicate-line signals; repeats planted from doc_id
+    # residues identically in BOTH engines
+    from bb_ocr_spark.functions.scrub import repetition_cols
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    line1 = F.substring(F.col("text"), 1, 40)
+    payload = F.concat(
+        line1, F.lit("\n"), F.col("text"), F.lit("\n"),
+        F.when(k % 3 == 0, line1).otherwise(
+            F.concat(F.lit("uniq "), k.cast("string"))
+        ),
+    )
+    return d.select("doc_id", *repetition_cols(payload))
+
+
+_ORACLE_REPETITION_STATS = r"""
+WITH p AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || chr(10) || text || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40)
+              ELSE 'uniq ' || CAST(doc_id AS VARCHAR) END AS payload
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(payload, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM p
+), m AS (
+  SELECT doc_id, lines, list_distinct(lines) AS dlines,
+         len(lines) AS n,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS chars,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0) AS dchars
+  FROM l
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+       CASE WHEN n > 0
+            THEN round((n - len(dlines)) / CAST(n AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN chars > 0
+            THEN round((chars - dchars) / CAST(chars AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_line_char_frac
+FROM m
+"""
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train/eval n-gram decontamination: eval set = every 97th doc; flag
+    # train docs sharing >= 1 distinct word trigram. Spark matches on
+    # hashes-of-token-hashes (no n-gram strings on the wire); the oracle
+    # replays with string trigrams — equal unless 64-bit collisions
+    from bb_ocr_spark.operators.decontaminate import contaminated_docs
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    return contaminated_docs(d, ev, n=3, min_hits=1)
+
+
+_ORACLE_DECONTAM = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), gr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)])
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM tk
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS g FROM gr WHERE doc_id % 97 = 0
+), tr AS (
+  SELECT doc_id, unnest(grams) AS g FROM gr
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (g)
+GROUP BY doc_id
+HAVING count(*) >= 1
+"""
+
+
+def _q_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL canonicalization + host-level dedup: messy URL variants
+    # synthesized from doc_id in BOTH engines; first-doc-per-host +
+    # distinct canonical urls per host
+    from bb_ocr_spark.functions.scrub import canonical_host_col, canonical_url_col
+
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    site = (k % 37).cast("string")
+    kid = k.cast("string")
+    url = (
+        F.when(
+            k % 4 == 0,
+            F.concat(F.lit("https://WWW.Site"), site, F.lit(".com/page/"), kid,
+                     F.lit("?utm_source=x&id="), kid),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(F.lit("http://site"), site, F.lit(".com/page/"), kid,
+                     F.lit("/")),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(F.lit("site"), site, F.lit(".COM:8080/x/"), kid),
+        )
+        .otherwise(
+            F.concat(F.lit("https://user@site"), site, F.lit(".com/"), kid,
+                     F.lit("#frag")),
+        )
+    )
+    u = d.select(
+        "doc_id",
+        canonical_host_col(url).alias("host"),
+        canonical_url_col(url).alias("canon"),
+    )
+    return u.groupBy("host").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count("*").alias("n_docs"),
+        F.countDistinct("canon").alias("n_urls"),
+    )
+
+
+_ORACLE_HOST_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 4 = 0 THEN 'https://WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+         || '.com/page/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&id='
+         || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 4 = 1 THEN 'http://site' || CAST(doc_id % 37 AS VARCHAR)
+         || '.com/page/' || CAST(doc_id AS VARCHAR) || '/'
+    WHEN doc_id % 4 = 2 THEN 'site' || CAST(doc_id % 37 AS VARCHAR)
+         || '.COM:8080/x/' || CAST(doc_id AS VARCHAR)
+    ELSE 'https://user@site' || CAST(doc_id % 37 AS VARCHAR) || '.com/'
+         || CAST(doc_id AS VARCHAR) || '#frag' END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    nullif(regexp_extract(lower(trim(url)),
+      '^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@]*@)?(?:www\.)?([^/:?#]+)', 1),
+      '') AS host,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(regexp_extract(trim(url), '^([^/]*//[^/]*)', 1))
+        || regexp_replace(trim(url), '^[^/]*//[^/]*', ''),
+      '#.*$', ''),
+      '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+      '[?&]$', ''),
+      '/$', '') AS canon
+  FROM u
+)
+SELECT host, CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canon) AS BIGINT) AS n_urls
+FROM c GROUP BY host
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1326,6 +1563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "dup_pairs": _q_dup_pairs,
         "shard_packing": _q_shard_packing,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "decontam": _q_decontam,
+        "host_dedup": _q_host_dedup,
     }
 
 
@@ -1365,4 +1606,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _oracle_lsh_ann(),
         "dup_pairs": _oracle_dup_pairs(),
         "shard_packing": _ORACLE_SHARD_PACKING,
+        "pii_scrub": _oracle_pii_scrub(),
+        "repetition_stats": _ORACLE_REPETITION_STATS,
+        "decontam": _ORACLE_DECONTAM,
+        "host_dedup": _ORACLE_HOST_DEDUP,
     }

@@ -1,6 +1,10 @@
 """Corpus curation: the 100 TB pretraining-preparation job as one plan.
 
-    documents ──quality──▶ keep/drop (Gopher/C4-style signals)
+    documents ──scrub────▶ PII masked (emails/ips/phones/ids → tokens)
+              ──quality──▶ keep/drop (Gopher/C4-style signals incl.
+                           duplicate-line repetition caps)
+              ──decontam─▶ drop docs sharing n-grams with an eval set
+                           (optional; anti-join on hashed shingles)
               ──dedup────▶ exact-dup winners (md5 fingerprint groupBy)
               ──paradedup▶ cross-corpus paragraph dedup (rebuilt texts)
               ──split────▶ deterministic train/val/test (md5 buckets)
@@ -11,9 +15,11 @@ goldens); this plan is the composition a real curation run executes, with
 a stats row per stage so attrition is observable (the silent-truncation
 rule: anything dropped is counted, never implied).
 
-Shuffle profile: quality is narrow; exact dedup shuffles md5 keys;
-paragraph dedup shuffles paragraph hashes + doc ids; split is narrow;
-packing shuffles bucket subtotals (tiny) + one parallel window.
+Shuffle profile: scrub + quality are narrow; decontamination shuffles
+(doc_id, 8-byte shingle hash) pairs against a broadcastable eval shingle
+set; exact dedup shuffles md5 keys; paragraph dedup shuffles paragraph
+hashes + doc ids; split is narrow; packing shuffles bucket subtotals
+(tiny) + one parallel window.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.sampling import split_col
+from ..functions.scrub import pii_scrub_col, repetition_cols
 from ..functions.text import quality_cols, token_count_col
 from ..operators.dedup import exact_dedup, paragraph_dedup
 from ..operators.packing import assign_shards
@@ -32,17 +39,39 @@ def run_curation(
     shard_budget_tokens: int = 100_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eval_df: DataFrame | None = None,
+    max_dup_line_frac: float = 0.5,
 ) -> dict[str, DataFrame]:
     """documents(id, text, …) → curated corpus + per-stage tables.
 
     Returns {quality, kept, dedup_winners, deduped, curated, shards,
     stats}; `curated` carries (id, text_dedup, n_tokens, split, shard_id).
+    Pass eval_df (same id/text columns) to decontaminate against it.
     """
-    q = documents.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text"),
-        *quality_cols(F.col(text_col)),
+    scrubbed = documents.select(
+        F.col(id_col).alias("id"),
+        pii_scrub_col(F.col(text_col)).alias("text"),
     )
-    kept = q.filter(F.col("quality_keep")).select("id", "text")
+    q = scrubbed.select(
+        "id", "text", *quality_cols(F.col("text")), *repetition_cols(F.col("text"))
+    )
+    kept = q.filter(
+        F.col("quality_keep") & (F.col("dup_line_frac") <= max_dup_line_frac)
+    ).select("id", "text")
+
+    flagged = None
+    if eval_df is not None:
+        from ..operators.decontaminate import contaminated_docs  # noqa: PLC0415
+
+        flagged = contaminated_docs(
+            kept,
+            eval_df.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("text")
+            ),
+            id_col="id",
+            text_col="text",
+        )
+        kept = kept.join(flagged.select("id"), "id", "left_anti")
 
     # exact dedup: min-id winner per normalized-text fingerprint
     winners = exact_dedup(kept, id_col="id", text_col="text").select(
@@ -69,11 +98,22 @@ def run_curation(
         shards.select("id", "shard_id"), "id", "left"
     )
 
+    contam_stats = (
+        flagged.groupBy().agg(F.count("*").alias("n_contaminated"))
+        if flagged is not None
+        else documents.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_contaminated")
+        )
+    )
     stats = (
         documents.groupBy()
         .agg(F.count("*").alias("n_input"))
         .crossJoin(q.groupBy().agg(
-            F.sum(F.col("quality_keep").cast("long")).alias("n_quality_kept")))
+            F.sum(F.col("quality_keep").cast("long")).alias("n_quality_kept"),
+            F.sum(
+                (F.col("dup_line_frac") > max_dup_line_frac).cast("long")
+            ).alias("n_repetition_flagged")))
+        .crossJoin(contam_stats)
         .crossJoin(winners.groupBy().agg(
             F.count("*").alias("n_exact_unique"),
             F.sum(F.col("dup_count") - 1).alias("n_exact_dropped")))

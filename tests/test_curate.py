@@ -38,3 +38,31 @@ def test_curation_pipeline(spark):
     # prefix property: shard ids are non-decreasing in id order over train
     ordered = [r["shard_id"] for r in sorted(train, key=lambda r: r["id"])]
     assert ordered == sorted(ordered)
+
+
+def test_curation_scrub_and_decontam_stages(spark):
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}_{j} the of and to" for j in range(12))
+        rows.append((i, f"{body} mail user{i}@example.com"))
+    # a repetition-bomb doc: one line repeated many times
+    rows.append((300, "\n".join(["the same line of and to again"] * 20)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # eval set shares exactly one trigram ("and to w5_1") unique to doc 5
+    # (common trigrams like "the of and" would contaminate every doc)
+    ev = spark.createDataFrame(
+        [(9000, "and to w5_1")], "doc_id long, text string"
+    )
+    out = run_curation(df, shard_budget_tokens=300, eval_df=ev)
+    stats = out["stats"].collect()[0]
+    assert stats["n_repetition_flagged"] == 1  # the repetition bomb
+    assert stats["n_contaminated"] == 1  # doc 5 and only doc 5
+    kept_ids = {r["id"] for r in out["kept"].collect()}
+    assert 5 not in kept_ids and 300 not in kept_ids
+    # PII scrub happened before everything downstream
+    curated = {r["id"]: r for r in out["curated"].collect()}
+    assert all("@example.com" not in r["text_dedup"] for r in curated.values())
+    assert any("<EMAIL>" in r["text_dedup"] for r in curated.values())
+    # no-eval path still reports a zero contamination stat
+    out2 = run_curation(df, shard_budget_tokens=300)
+    assert out2["stats"].collect()[0]["n_contaminated"] == 0

@@ -1,0 +1,139 @@
+"""PII scrubbing, repetition metrics, URL canonicalization, and train/eval
+decontamination — python-reference exactness + semantics tests."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from bb_ocr_spark.functions.scrub import (
+    PII_CHAIN,
+    canonical_host_col,
+    canonical_url_col,
+    pii_count_cols,
+    pii_scrub_col,
+    repetition_cols,
+)
+
+
+def test_pii_scrub_matches_python(spark):
+    rows = [
+        ("1", "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+        ("2", "server 10.0.255.7 and 192.168.1.1 up"),
+        ("3", "call +1 555-123-4567 or 44 20 1234 567 today"),
+        ("4", "card 4111111111111111 acct 12345678901234567"),
+        ("5", "email bob@corp.com from 10.1.1.1 card 4000123412341234"),
+        ("6", "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_scrub_col(F.col("text")).alias("scrubbed"),
+            *pii_count_cols(F.col("text")),
+        ).collect()
+    }
+
+    def py_chain(text):
+        counts = {}
+        for name, pat, repl in PII_CHAIN:
+            counts[f"n_{name}"] = len(re.findall(pat, text))
+            text = re.sub(pat, repl, text)
+        return text, counts
+
+    for id_, text in rows:
+        want_text, want_counts = py_chain(text)
+        assert got[id_]["scrubbed"] == want_text, id_
+        for k, v in want_counts.items():
+            assert got[id_][k] == v, (id_, k)
+    assert "<EMAIL>" in got["1"]["scrubbed"]
+    assert got["2"]["n_ips"] == 2
+    assert got["4"]["n_ids"] == 2
+    assert got["6"]["scrubbed"] == rows[5][1]
+
+
+def test_repetition_metrics(spark):
+    rows = [
+        ("a", "one two\nthree four\none two\nfive"),  # 4 lines, 1 repeat
+        ("b", "x\n\n  \nx\nx"),  # blanks dropped; 3 lines, 2 repeats
+        ("c", "all\nunique\nlines"),
+        ("d", ""),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: r
+        for r in df.select("id", *repetition_cols(F.col("text"))).collect()
+    }
+    assert got["a"]["n_lines"] == 4
+    assert got["a"]["dup_line_frac"] == 0.25
+    # chars: one two(7)*2 + three four(10) + five(4) = 28; dup chars 7
+    assert got["a"]["dup_line_char_frac"] == 0.25
+    assert got["b"]["n_lines"] == 3 and round(got["b"]["dup_line_frac"], 4) == 0.6667
+    assert got["c"]["dup_line_frac"] == 0.0
+    assert got["d"]["n_lines"] == 0 and got["d"]["dup_line_frac"] == 0.0
+
+
+def test_url_canonicalization(spark):
+    rows = [
+        ("1", "https://WWW.Example.COM:8080/Path/a?utm_source=x&q=1#frag"),
+        ("2", "http://user@sub.example.com/p/"),
+        ("3", "example.com/x"),
+        ("4", "HTTPS://example.com"),
+        ("5", "   "),
+    ]
+    df = spark.createDataFrame(rows, "id string, url string")
+    got = {
+        r["id"]: (r["host"], r["canon"])
+        for r in df.select(
+            "id",
+            canonical_host_col(F.col("url")).alias("host"),
+            canonical_url_col(F.col("url")).alias("canon"),
+        ).collect()
+    }
+    assert got["1"][0] == "example.com"
+    assert got["2"][0] == "sub.example.com"
+    assert got["3"][0] == "example.com"
+    assert got["4"][0] == "example.com"
+    assert got["5"][0] is None
+    # canonical url: tracking params + fragment gone, trailing slash gone,
+    # scheme+host lowered, path case preserved
+    assert got["1"][1] == "https://www.example.com:8080/Path/a?q=1"
+    assert got["2"][1] == "http://user@sub.example.com/p"
+
+
+def test_decontamination(spark):
+    from bb_ocr_spark.operators.decontaminate import (
+        contaminated_docs,
+        decontaminate,
+    )
+
+    eval_rows = [("e1", "the quick brown fox jumps")]
+    train_rows = [
+        ("t1", "something about the quick brown fox appearing here"),  # 3-gram hit
+        ("t2", "quick brown cats sleep all day"),  # no shared 3-gram
+        ("t3", "the quick brown fox jumps exactly"),  # multiple hits
+        ("t4", "unrelated text entirely different words"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id string, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id string, text string")
+
+    flagged = {
+        r["doc_id"]: r["n_shared"]
+        for r in contaminated_docs(train, ev, n=3).collect()
+    }
+    assert set(flagged) == {"t1", "t3"}
+    # t1 shares 2 trigrams ("the quick brown", "quick brown fox");
+    # t3 shares all 3 of the eval doc's trigrams
+    assert flagged["t1"] == 2 and flagged["t3"] == 3
+
+    clean = {r["doc_id"] for r in decontaminate(train, ev, n=3).collect()}
+    assert clean == {"t2", "t4"}
+
+    # min_hits raises the bar
+    strict = {
+        r["doc_id"]
+        for r in contaminated_docs(train, ev, n=3, min_hits=3).collect()
+    }
+    assert strict == {"t3"}
