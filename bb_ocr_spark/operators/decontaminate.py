@@ -46,13 +46,21 @@ def contaminated_docs(
     """(doc_id, n_shared) for every train doc sharing >= min_hits DISTINCT
     word n-grams with any eval doc. Anti-join the result against the
     corpus to decontaminate; keep n_shared for audit thresholds."""
+    # explode_outer, NOT explode: the optimizer infers a size>0/isnotnull
+    # filter for a plain explode and pushes it past the _th/_tk projection,
+    # re-inlining the WHOLE shingle expression twice — and each copy
+    # re-evaluates the token-hash transform inside every try_element_at,
+    # an O(shingles × tokens) blowup per doc (measured 10x on sf0.1: the
+    # same trap fixed in the tokenize_spans driver query). hs is never
+    # empty/null (the <n-tokens branch emits a 1-element array), so the
+    # outer generate emits identical rows.
     ev = (
         _hashed_shingles(eval_df, n, id_col, text_col)
-        .select(F.explode("hs").alias("sh"))
+        .select(F.explode_outer("hs").alias("sh"))
         .distinct()
     )
     tr = _hashed_shingles(train, n, id_col, text_col).select(
-        "id", F.explode("hs").alias("sh")
+        "id", F.explode_outer("hs").alias("sh")
     )
     return (
         tr.join(ev, "sh")  # shingles are distinct per doc -> count = hits

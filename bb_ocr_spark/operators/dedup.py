@@ -117,9 +117,19 @@ def ngram_jaccard_pairs(
         toks.alias("_tk"),
     )
     # shuffle 8-byte shingle hashes, never shingle strings (and never BUILD
-    # the strings either — see hashed_shingles_col)
+    # the strings either — see hashed_shingles_col). explode_outer, not
+    # explode: a plain explode's inferred size>0/isnotnull filter gets
+    # pushed past the _th/_tk projection with the whole shingle expression
+    # re-inlined TWICE, and each copy re-evaluates the token-hash
+    # transform inside every try_element_at — O(shingles × tokens)/doc
+    # (the Generate-filter trap; measured 10x on the decontamination op).
+    # The shingle array is never null/empty (<n-token docs emit a
+    # 1-element array), so rows are identical.
     inv = base.select(
-        "id", F.explode(hashed_shingles_col(F.col("_th"), F.col("_tk"), n)).alias("tok")
+        "id",
+        F.explode_outer(
+            hashed_shingles_col(F.col("_th"), F.col("_tk"), n)
+        ).alias("tok"),
     )
     # the inverted index feeds the df pre-pass, both self-join sides, and
     # the set-size aggregation — persist so tokenize+hash runs once
@@ -459,7 +469,11 @@ def paragraph_dedup(
         ),
     )
     paras = (
-        base.select("id", F.inline(with_n))
+        # inline_outer: a plain inline's inferred filter re-embeds the
+        # struct-building transform per row (Generate-filter trap); the
+        # null row an outer generate emits for a null text is dropped by
+        # the para != '' filter below
+        base.select("id", F.inline_outer(with_n))
         .withColumn("para", F.regexp_replace(F.trim("para"), r"\s+", " "))
         .filter(F.col("para") != "")
         .withColumn("fp", F.xxhash64("para"))

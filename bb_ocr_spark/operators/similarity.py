@@ -212,7 +212,13 @@ def lsh_topk(
     )
     q = (
         q.withColumn("_sig", sig)
-        .withColumn("bucket", F.explode(F.concat(F.array(F.col("_sig")), flips)))
+        # explode_outer: a plain explode's inferred filter re-inlines the
+        # probe-list construction (and through it the signature/dot chain)
+        # into an extra evaluation per row — the Generate-filter trap. The
+        # probe array is never empty (own bucket always present).
+        .withColumn(
+            "bucket", F.explode_outer(F.concat(F.array(F.col("_sig")), flips))
+        )
         .select("query_id", "q_vec", "bucket")
     )
     scored = (
@@ -281,8 +287,12 @@ def embedding_dup_pairs(
         )
         for band in range(bands)
     ]
+    # explode_outer: a plain explode's inferred size/isnotnull filter
+    # re-embeds every band's signature expression (n_planes dot products
+    # each) into extra per-row evaluations; the band array is a non-empty
+    # literal-arity construction, so outer emits identical rows
     b = base.select(
-        "id", "vec", F.explode(F.array(*bucket_structs)).alias("bk")
+        "id", "vec", F.explode_outer(F.array(*bucket_structs)).alias("bk")
     ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     from ..cache import track_persist  # noqa: PLC0415
 
@@ -441,7 +451,11 @@ def ivf_topk(
             n_probe,
         ),
     ).select(
-        "query_id", "q_vec", F.explode(F.transform("probes", lambda p: p["idx"])).alias("list_id")
+        # explode_outer: see lsh_topk — keeps the centroid-score chain out
+        # of the inferred Generate filter (probes is never empty, n_probe>=1)
+        "query_id",
+        "q_vec",
+        F.explode_outer(F.transform("probes", lambda p: p["idx"])).alias("list_id"),
     )
     scored = (
         c.join(q, "list_id")
