@@ -1522,6 +1522,66 @@ FROM c GROUP BY host
 """
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transitive closure over near-dup pairs: A~B, B~C collapse into one
+    # cluster even when A~C was never emitted; Spark = iterative min-label
+    # propagation, oracle = recursive CTE over the same exact pair set
+    from bb_ocr_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "text"),
+        threshold=0.05,
+        n=3,
+        max_df=256,
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
+_ORACLE_DUP_CLUSTERS = _SHINGLE_CTES.replace(
+    "WITH tk AS (", "WITH RECURSIVE tk AS (", 1
+) + """
+, pairs AS (
+  SELECT id_a AS u, id_b AS v
+  FROM shared
+  JOIN sized sa ON sa.id = id_a
+  JOIN sized sb ON sb.id = id_b
+  WHERE n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.05
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+), reach(id, r) AS (
+  SELECT u AS id, u AS r FROM edges
+  UNION
+  SELECT e.u AS id, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # domain-weighted data mixing: per-source key-stable subsampling
+    from bb_ocr_spark.functions.sampling import mix_sources
+
+    weights = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+    return mix_sources(
+        _docs(spark, sf_dir), weights, default=0.1
+    ).select("doc_id", "source")
+
+
+def _oracle_source_mix() -> str:
+    from bb_ocr_spark.functions.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", 1_000_000, "mix")
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {bucket} < CASE source
+  WHEN 'src0' THEN 1000000
+  WHEN 'src1' THEN 750000
+  WHEN 'src2' THEN 500000
+  WHEN 'src3' THEN 250000
+  ELSE 100000 END
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1567,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
         "host_dedup": _q_host_dedup,
+        "dup_clusters": _q_dup_clusters,
+        "source_mix": _q_source_mix,
     }
 
 
@@ -1610,4 +1672,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,
         "host_dedup": _ORACLE_HOST_DEDUP,
+        "dup_clusters": _ORACLE_DUP_CLUSTERS,
+        "source_mix": _oracle_source_mix(),
     }

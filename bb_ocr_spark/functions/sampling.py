@@ -59,3 +59,41 @@ def hash_bucket_sql(key: str, buckets: int = 100, salt: str = "split") -> str:
         for p in range(15)
     )
     return f"(({digits}) % {buckets})"
+
+
+def mix_keep_col(
+    key: Column,
+    source: Column,
+    weights: dict[str, float],
+    default: float = 0.0,
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+) -> Column:
+    """Boolean keep-flag implementing domain-weighted data mixing: each
+    source is key-stably subsampled at its weight (1.0 = keep all,
+    0.25 = keep a deterministic quarter). The pretraining 'data mixture'
+    step — downweight crawl, keep curated sources whole — as one narrow
+    expression: stable under appends/retries, no rand(), replayable in
+    SQL. Sources absent from `weights` fall back to `default`."""
+    b = hash_bucket_col(key, resolution, salt)
+    expr = None
+    for src, w in sorted(weights.items()):
+        cond = source == F.lit(src)
+        keep = b < int(w * resolution)
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    fallback = b < int(default * resolution)
+    return fallback if expr is None else expr.otherwise(fallback)
+
+
+def mix_sources(
+    df,
+    weights: dict[str, float],
+    default: float = 0.0,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+):
+    """df filtered to the weighted mixture (see mix_keep_col)."""
+    return df.filter(
+        mix_keep_col(F.col(key_col), F.col(source_col), weights, default, salt)
+    )

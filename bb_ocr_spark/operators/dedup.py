@@ -620,3 +620,80 @@ WITH base AS (
 )
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hashed
 """
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster resolution (connected components over pair output)
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in >= 1 pair; cluster_id =
+    the MIN id of the connected component. Pair generators (ngram/minhash/
+    simhash/embedding) emit edges; real dedup needs the transitive closure
+    — A~B and B~C must collapse into ONE surviving doc even when A~C was
+    never emitted (RefinedWeb/SlimPajama resolve clusters the same way).
+    Pick winners by joining cluster_id == id (or any argmin per cluster).
+
+    Algorithm: iterative min-label propagation over undirected edges —
+    each round every vertex takes min(own label, neighbors' labels);
+    converges in O(component diameter) rounds. LSH dup clusters are
+    near-cliques (diameter 1-3), so 3-5 rounds in practice; max_iter
+    bounds adversarial path graphs. Per round: one join edges⋈labels +
+    one groupBy min — all shuffles on (id, label) longs, never payloads.
+    The convergence check is a driver-side count of changed labels (the
+    standard iterative-algorithm loop: one tiny aggregate per round, not
+    a data collect). Deterministic for any parallelism.
+
+    At 10^12 edges use the same loop with labels/edges persisted per
+    round (done here, released on return) and checkpointing every ~10
+    rounds to truncate lineage; the alternating small-star/large-star
+    variant halves rounds but not the asymptotics."""
+    from ..cache import track_persist  # noqa: PLC0415
+
+    half = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = track_persist(
+        half.unionByName(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = track_persist(labels)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nl").alias("mn"))
+            .select(F.col("u").alias("id"), "mn")
+        )
+        new_labels = track_persist(
+            labels.join(neigh, "id", "left").select(
+                "id",
+                F.least(F.col("label"), F.coalesce("mn", "label")).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    return out

@@ -137,3 +137,51 @@ def test_decontamination(spark):
         for r in contaminated_docs(train, ev, n=3, min_hits=3).collect()
     }
     assert strict == {"t3"}
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from bb_ocr_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3 (A~C never emitted), pair (10,11), and a 6-node path
+    # 20-21-...-25 that needs several propagation rounds
+    pairs = [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(20, 25)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        **{i: 20 for i in range(20, 26)},
+    }
+    # determinism across input partitioning
+    got2 = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(df.repartition(7)).collect()
+    }
+    assert got2 == got
+
+
+def test_mix_sources_stable_weights(spark):
+    from bb_ocr_spark.functions.sampling import mix_sources
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+    kept = mix_sources(df, weights).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src.get("src0", ())) == 1000  # weight 1.0 keeps all
+    assert "src3" not in by_src  # weight 0 drops all
+    # md5-bucket sampling is approximate per-source but deterministic
+    assert abs(len(by_src["src1"]) / 1000 - 0.5) < 0.1
+    assert abs(len(by_src["src2"]) / 1000 - 0.25) < 0.1
+
+    # append-stability: the same keys keep identical decisions on a subset
+    sub = mix_sources(df.filter(F.col("doc_id") < 2000), weights).collect()
+    sub_ids = {(r["source"], r["doc_id"]) for r in sub}
+    full_ids = {(r["source"], r["doc_id"]) for r in kept if r["doc_id"] < 2000}
+    assert sub_ids == full_ids
+
+    # default weight applies to unlisted sources
+    d2 = mix_sources(df, {"src0": 1.0}, default=1.0).count()
+    assert d2 == 4000
