@@ -6,6 +6,9 @@
               ──decontam─▶ drop docs sharing n-grams with an eval set
                            (optional; anti-join on hashed shingles)
               ──dedup────▶ exact-dup winners (md5 fingerprint groupBy)
+              ──neardedup▶ optional MinHash near-dup clusters collapsed
+                           to their min-id representative (pairs →
+                           transitive closure → keep cluster winners)
               ──paradedup▶ cross-corpus paragraph dedup (rebuilt texts)
               ──split────▶ deterministic train/val/test (md5 buckets)
               ──pack─────▶ token-budget shards (distributed prefix sum)
@@ -41,6 +44,7 @@ def run_curation(
     text_col: str = "text",
     eval_df: DataFrame | None = None,
     max_dup_line_frac: float = 0.5,
+    near_dup_threshold: float | None = None,
 ) -> dict[str, DataFrame]:
     """documents(id, text, …) → curated corpus + per-stage tables.
 
@@ -79,6 +83,25 @@ def run_curation(
     )
     uniq = kept.join(winners.select("id"), "id")
 
+    # optional near-dup pass: MinHash-verified pairs → transitive closure →
+    # only each cluster's min-id representative survives (losers are docs
+    # whose cluster_id differs from their own id)
+    near_dup_losers = None
+    if near_dup_threshold is not None:
+        from ..operators.dedup import (  # noqa: PLC0415
+            dedup_clusters,
+            minhash_lsh_verified_pairs,
+        )
+
+        near_pairs = minhash_lsh_verified_pairs(
+            uniq, threshold=near_dup_threshold, id_col="id", text_col="text"
+        ).select("id_a", "id_b")
+        clusters = dedup_clusters(near_pairs)
+        near_dup_losers = clusters.filter(
+            F.col("id") != F.col("cluster_id")
+        ).select("id")
+        uniq = uniq.join(near_dup_losers, "id", "left_anti")
+
     # cross-corpus paragraph dedup over the surviving docs
     para = paragraph_dedup(uniq, id_col="id", text_col="text")
 
@@ -105,6 +128,13 @@ def run_curation(
             F.lit(0).cast("long").alias("n_contaminated")
         )
     )
+    near_stats = (
+        near_dup_losers.groupBy().agg(F.count("*").alias("n_near_dup_dropped"))
+        if near_dup_losers is not None
+        else documents.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_near_dup_dropped")
+        )
+    )
     stats = (
         documents.groupBy()
         .agg(F.count("*").alias("n_input"))
@@ -114,6 +144,7 @@ def run_curation(
                 (F.col("dup_line_frac") > max_dup_line_frac).cast("long")
             ).alias("n_repetition_flagged")))
         .crossJoin(contam_stats)
+        .crossJoin(near_stats)
         .crossJoin(winners.groupBy().agg(
             F.count("*").alias("n_exact_unique"),
             F.sum(F.col("dup_count") - 1).alias("n_exact_dropped")))

@@ -66,3 +66,26 @@ def test_curation_scrub_and_decontam_stages(spark):
     # no-eval path still reports a zero contamination stat
     out2 = run_curation(df, shard_budget_tokens=300)
     assert out2["stats"].collect()[0]["n_contaminated"] == 0
+
+
+def test_curation_near_dup_stage(spark):
+    rows = []
+    for i in range(30):
+        body = " ".join(f"w{i}_{j} the of and to" for j in range(12))
+        rows.append((i, body))
+    # near-dups of doc 3 (one token changed — high jaccard, not exact)
+    base3 = rows[3][1]
+    rows.append((400, base3.replace("w3_11", "changed")))
+    rows.append((401, base3.replace("w3_10", "altered")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = run_curation(df, shard_budget_tokens=300, near_dup_threshold=0.6)
+    stats = out["stats"].collect()[0]
+    assert stats["n_near_dup_dropped"] == 2  # 400 and 401 collapse into 3
+    curated = {r["id"] for r in out["curated"].collect()}
+    assert 3 in curated and 400 not in curated and 401 not in curated
+
+    # without the stage nothing is dropped and the stat reads zero
+    out2 = run_curation(df, shard_budget_tokens=300)
+    assert out2["stats"].collect()[0]["n_near_dup_dropped"] == 0
+    assert {400, 401} <= {r["id"] for r in out2["curated"].collect()}
