@@ -76,12 +76,15 @@ def mix_keep_col(
     expression: stable under appends/retries, no rand(), replayable in
     SQL. Sources absent from `weights` fall back to `default`."""
     b = hash_bucket_col(key, resolution, salt)
+    # round, don't truncate: 0.29 * 1e6 is 289999.99999999997 in floats —
+    # int() would shift the cutoff a bucket low and diverge from any SQL
+    # replay that computes the product exactly
     expr = None
     for src, w in sorted(weights.items()):
         cond = source == F.lit(src)
-        keep = b < int(w * resolution)
+        keep = b < int(round(w * resolution))
         expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
-    fallback = b < int(default * resolution)
+    fallback = b < int(round(default * resolution))
     return fallback if expr is None else expr.otherwise(fallback)
 
 

@@ -640,20 +640,25 @@ def dedup_clusters(
     never emitted (RefinedWeb/SlimPajama resolve clusters the same way).
     Pick winners by joining cluster_id == id (or any argmin per cluster).
 
-    Algorithm: iterative min-label propagation over undirected edges —
-    each round every vertex takes min(own label, neighbors' labels);
-    converges in O(component diameter) rounds. LSH dup clusters are
-    near-cliques (diameter 1-3), so 3-5 rounds in practice; max_iter
-    bounds adversarial path graphs. Per round: one join edges⋈labels +
-    one groupBy min — all shuffles on (id, label) longs, never payloads.
-    The convergence check is a driver-side count of changed labels (the
-    standard iterative-algorithm loop: one tiny aggregate per round, not
-    a data collect). Deterministic for any parallelism.
+    Algorithm: per round every vertex takes min(own label, neighbors'
+    labels) — then a POINTER-JUMPING step (label ← label[label]) halves
+    the remaining propagation distance, so convergence is O(log diameter)
+    rounds: max_iter=20 covers diameters up to ~2^20, far past any real
+    graph. LSH dup clusters are near-cliques (1-2 rounds). Per round: one
+    join edges⋈labels + one groupBy min + one labels self-join — all
+    shuffles on (id, label) longs, never payloads. The convergence check
+    is a driver-side count of changed labels (the standard
+    iterative-algorithm loop: one tiny aggregate per round, not a data
+    collect). Deterministic for any parallelism. Raises RuntimeError if
+    max_iter is exhausted before convergence — a silently-partial
+    clustering would merge fewer docs than claimed.
 
-    At 10^12 edges use the same loop with labels/edges persisted per
-    round (done here, released on return) and checkpointing every ~10
-    rounds to truncate lineage; the alternating small-star/large-star
-    variant halves rounds but not the asymptotics."""
+    Each round's label frame is localCheckpoint()ed: without lineage
+    truncation the self-join DOUBLES the logical plan per round and
+    re-optimization cost grows exponentially (measured: the test file
+    went 131s → timeout from plan growth alone, data unchanged). On a
+    real cluster swap localCheckpoint for reliable checkpoint() — local
+    checkpoints die with an executor."""
     from ..cache import track_persist  # noqa: PLC0415
 
     half = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -662,10 +667,12 @@ def dedup_clusters(
             half.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    labels = track_persist(labels)
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -678,12 +685,23 @@ def dedup_clusters(
             .agg(F.min("nl").alias("mn"))
             .select(F.col("u").alias("id"), "mn")
         )
-        new_labels = track_persist(
-            labels.join(neigh, "id", "left").select(
-                "id",
-                F.least(F.col("label"), F.coalesce("mn", "label")).alias("label"),
-            )
+        relaxed = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("mn", "label")).alias("label"),
         )
+        # pointer jumping: label ← min(label, label's own label). The
+        # label graph is a forest pointing toward smaller ids, so this
+        # halves the remaining distance to the root each round.
+        jumped = relaxed.join(
+            relaxed.select(
+                F.col("id").alias("label"), F.col("label").alias("_ll")
+            ),
+            "label",
+            "left",
+        ).select(
+            "id", F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label")
+        )
+        new_labels = jumped.localCheckpoint(eager=True)  # truncate lineage
         changed = (
             new_labels.join(
                 labels.select("id", F.col("label").alias("old")), "id"
@@ -691,9 +709,13 @@ def dedup_clusters(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(component diameter > ~2^max_iter?) — raise max_iter"
+        )
     out = labels.select("id", F.col("label").alias("cluster_id"))
     return out

@@ -270,9 +270,12 @@ def embedding_dup_pairs(
     and stays broadcastable). Note a cluster larger than max_bucket shares
     buckets in EVERY band (its members agree on all plane signs), so its
     pairs are intentionally suppressed, not recovered — size the cap above
-    the largest dup cluster whose full pair list you actually want, and
-    read the capped clusters from the hot-bucket set instead of as pairs.
-    None disables.
+    the largest dup cluster whose full pair list you actually want. The
+    suppression is OBSERVABLE, never implied: call
+    embedding_dup_hot_buckets with the same parameters to get the capped
+    (band, bucket, size, member ids) set — a capped bucket IS the cluster
+    finding, delivered as one row instead of size²/2 pair rows. None
+    disables the cap.
 
     The bucketed frame feeds the hot-bucket pre-pass plus both self-join
     sides (no CSE across self-joins) — persisted via cache.track_persist;
@@ -317,6 +320,47 @@ def embedding_dup_pairs(
         # verify so the dedup shuffle moves (id, id, double) rows, not two
         # dim-wide vectors per row
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_dup_hot_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 10,
+    bands: int = 1,
+    max_bucket: int | None = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = config.SEED,
+) -> DataFrame:
+    """The (band, bucket, size, member_ids) rows embedding_dup_pairs
+    SUPPRESSES under the same parameters — call this alongside it so
+    capped dense clusters are reported as one row each instead of being
+    silently dropped (the no-silent-truncation rule). member_ids is a
+    sorted id array per hot bucket: a bucket over the cap is itself the
+    dup-cluster finding. (At extreme cluster sizes the member array is a
+    single-reducer payload — select only (band, bucket, size) there and
+    semi-join the bucketed frame for members instead.)"""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bucket_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            signature_col(
+                F.col("vec"), _hyperplanes(dim, n_planes, _band_seed(seed, band))
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    b = base.select(
+        "id", F.explode_outer(F.array(*bucket_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    return (
+        b.groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("size"),
+            F.array_sort(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("size") > (max_bucket if max_bucket is not None else 2**62))
     )
 
 

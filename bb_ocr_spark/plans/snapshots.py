@@ -8,8 +8,10 @@ image lacks — `sources.tables.have_iceberg` gates the real binding):
 
     <output_dir>/snapshots/snap-<n>.json   immutable manifest: run_ids,
                                            parent, counts, checksum, ts
-    <output_dir>/snapshots/CURRENT         pointer file, os.replace()'d
-                                           (atomic on POSIX)
+                                           (published via os.link —
+                                           create-exclusive CAS)
+    <output_dir>/snapshots/CURRENT         human-readable hint; readers
+                                           resolve the max manifest
 
 Time travel = read exactly the run dirs a manifest lists. A run directory
 that crashed before its snapshot commit is invisible to snapshot readers
@@ -32,49 +34,56 @@ def _snap_dir(output_dir: str) -> str:
 
 
 def current_snapshot(output_dir: str) -> dict | None:
-    cur = os.path.join(_snap_dir(output_dir), "CURRENT")
-    if not os.path.exists(cur):
-        return None
-    with open(cur) as f:
-        snap_file = f.read().strip()
-    with open(os.path.join(_snap_dir(output_dir), snap_file)) as f:
-        return json.load(f)
+    """The table's current state = the highest-id manifest ON DISK.
+
+    Manifests are published atomically (os.link in commit_snapshot), so
+    the max snap file is always a complete, committed manifest — reading
+    it directly makes the reader view race-free by construction. The
+    CURRENT pointer file is still maintained as a human-readable
+    convenience/debug hint, but it is NOT load-bearing: a check-then-act
+    pointer swap between two racing committers could move it backwards
+    and hide the latest commit until the next one."""
+    return _latest_manifest(output_dir)
 
 
 def _latest_manifest(output_dir: str) -> dict | None:
-    """Highest-numbered manifest on disk — the commit-time parent. CURRENT
-    is only the READER pointer; using it as the parent would livelock two
+    """Highest-numbered manifest on disk — the commit-time parent AND the
+    reader view. Using a pointer file as the parent would livelock two
     concurrent committers (the loser keeps re-minting the same id until
-    the winner swaps the pointer) and can lose a commit outright."""
+    the winner swaps the pointer) and can lose a commit outright.
+    Ordered NUMERICALLY by the parsed snap id — a lexical sort breaks the
+    moment ids outgrow the zero-padding ('snap-1000000.json' sorts before
+    'snap-999999.json', which would livelock the 1,000,001st commit)."""
     d = _snap_dir(output_dir)
     if not os.path.isdir(d):
         return None
-    snaps = sorted(
+    snaps = [
         n for n in os.listdir(d) if n.startswith("snap-") and n.endswith(".json")
-    )
+    ]
     if not snaps:
         return None
-    with open(os.path.join(d, snaps[-1])) as f:
+    latest = max(snaps, key=lambda n: int(n[len("snap-"):-len(".json")]))
+    with open(os.path.join(d, latest)) as f:
         return json.load(f)
 
 
 def commit_snapshot(
     output_dir: str, run_id: str, n_docs: int, checksum: int
 ) -> dict:
-    """Append an immutable manifest chaining to the parent, then swap the
-    CURRENT pointer atomically. The manifest lists ALL run_ids visible at
-    this snapshot (parent's runs + this one), so a reader needs exactly
-    one manifest.
+    """Append an immutable manifest chaining to the parent. The manifest
+    lists ALL run_ids visible at this snapshot (parent's runs + this
+    one), so a reader needs exactly one manifest.
 
     Concurrency: commit is a CAS, as Iceberg requires — the manifest is
     fully written to a tmp file and published with os.link() (create-
     exclusive + atomic); a committer that loses the race on snap-<n>
     retries against the new parent, so no commit is ever silently lost.
     Idempotent: a run_id already in the parent chain returns the existing
-    manifest (streaming foreachBatch replays hit this). The CURRENT swap
-    is monotonic (never moves the pointer backwards); between a manifest
-    landing and its pointer swap, readers see the previous snapshot — the
-    same read semantics as an in-flight Iceberg commit."""
+    manifest (streaming foreachBatch replays hit this). Readers resolve
+    the current state from the max on-disk manifest (current_snapshot),
+    so the commit is visible the instant the link lands; the CURRENT
+    pointer file is refreshed only as a non-load-bearing debug hint (a
+    racing hint write can lag, never the reader view)."""
     os.makedirs(_snap_dir(output_dir), exist_ok=True)
     while True:
         parent = _latest_manifest(output_dir)
@@ -89,9 +98,12 @@ def commit_snapshot(
             "run_checksum": checksum,
             "committed_at_ms": int(time.time() * 1000),
         }
+        import threading  # noqa: PLC0415
+
+        uniq = f"{os.getpid()}-{threading.get_ident()}"
         name = f"snap-{snap_id:06d}.json"
         final = os.path.join(_snap_dir(output_dir), name)
-        tmp = f"{final}.tmp-{os.getpid()}-{id(manifest)}"
+        tmp = f"{final}.tmp-{uniq}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         try:
@@ -103,12 +115,13 @@ def commit_snapshot(
             if os.path.exists(tmp):
                 os.unlink(tmp)
         cur_path = os.path.join(_snap_dir(output_dir), "CURRENT")
-        cur = current_snapshot(output_dir)
-        if cur is None or cur["snapshot_id"] < snap_id:
-            cur_tmp = f"{cur_path}.tmp-{os.getpid()}"
-            with open(cur_tmp, "w") as f:
-                f.write(name)
-            os.replace(cur_tmp, cur_path)
+        # tmp name must be unique per THREAD, not just per process: two
+        # in-process committers sharing one tmp path race write/replace
+        # and the loser's os.replace hits FileNotFoundError
+        cur_tmp = f"{cur_path}.tmp-{uniq}"
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+        os.replace(cur_tmp, cur_path)  # debug hint only, see docstring
         return manifest
 
 

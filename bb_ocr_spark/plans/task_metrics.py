@@ -29,22 +29,28 @@ class _TaskTimeListener:
 
     def __init__(self, group: str):
         self.group = group
-        self.result_stages: set[int] = set()
-        self.durations: dict[int, int] = {}
+        # per-stage duration maps; the FINAL job's result stage is chosen
+        # at drain time. Recording into one flat dict keyed by partition
+        # index would let an earlier job/stage of the same group (AQE and
+        # the resume anti-join split one action into several jobs) claim
+        # the indexes first and silently shadow the real write stage.
+        self.by_stage: dict[int, dict[int, int]] = {}
+        self.result_stage_of_job: dict[int, int] = {}
 
     def onJobStart(self, event):  # noqa: N802 (Java interface name)
         props = event.properties()
         if props is not None and props.getProperty("spark.jobGroup.id") == self.group:
             ids = event.stageIds()
             sids = [ids.apply(i) for i in range(ids.size())]
-            # only the RESULT stage (highest id in the job): its task index
-            # == output partition id; recording every stage would collide
-            # partition indexes from different stages in one dict
             if sids:
-                self.result_stages.add(max(sids))
+                # the job's RESULT stage (highest id): its task index ==
+                # output partition id
+                self.result_stage_of_job[event.jobId()] = max(sids)
+                self.by_stage.setdefault(max(sids), {})
 
     def onTaskEnd(self, event):  # noqa: N802
-        if event.stageId() not in self.result_stages:
+        stage = self.by_stage.get(event.stageId())
+        if stage is None:
             return
         info = event.taskInfo()
         # only successful attempts: a failed/killed speculative attempt can
@@ -53,8 +59,16 @@ class _TaskTimeListener:
         if not info.successful():
             return
         idx = info.index()
-        if idx not in self.durations:
-            self.durations[idx] = int(info.duration())
+        if idx not in stage:
+            stage[idx] = int(info.duration())
+
+    def final_durations(self) -> dict[int, int]:
+        """partition index → task ms for the LAST job's result stage —
+        the write job of the action executed inside the context."""
+        if not self.result_stage_of_job:
+            return {}
+        last_job = max(self.result_stage_of_job)
+        return self.by_stage.get(self.result_stage_of_job[last_job], {})
 
     def __getattr__(self, name):  # every other listener event: no-op
         def _noop(*args, **kwargs):
@@ -84,8 +98,9 @@ def per_task_durations(spark: SparkSession, group: str):
     except Exception:
         pass
     sc.setJobGroup(group, f"task-timed job group {group}")
+    out: dict[int, int] = {}
     try:
-        yield listener.durations
+        yield out
         if attached:
             # listener bus is async; drain before reading durations
             try:
@@ -94,6 +109,9 @@ def per_task_durations(spark: SparkSession, group: str):
                 import time  # noqa: PLC0415
 
                 time.sleep(0.5)
+            # resolve AFTER the drain: the last job's result stage is the
+            # write stage of the action run inside the context
+            out.update(listener.final_durations())
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
         if attached:

@@ -185,3 +185,35 @@ def test_mix_sources_stable_weights(spark):
     # default weight applies to unlisted sources
     d2 = mix_sources(df, {"src0": 1.0}, default=1.0).count()
     assert d2 == 4000
+
+
+def test_dedup_clusters_long_path_pointer_jumping(spark):
+    # a 60-node path has diameter 59 — naive min-propagation would need 59
+    # rounds; pointer jumping must converge well inside max_iter=20
+    from bb_ocr_spark.operators.dedup import dedup_clusters
+
+    pairs = [(i, i + 1) for i in range(100, 159)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(df, max_iter=20).collect()}
+    assert got == {i: 100 for i in range(100, 160)}
+
+
+def test_embedding_dup_hot_buckets_reports_capped_clusters(spark):
+    import math
+
+    from bb_ocr_spark.operators.similarity import embedding_dup_hot_buckets
+
+    dim = 8
+    cluster_v = [1.0] * dim
+    other_v = [math.sin(i + 1) for i in range(dim)]
+    rows = [(i, cluster_v) for i in range(1000)]
+    rows += [(2000, other_v), (2001, [x * 1.001 for x in other_v])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hot = embedding_dup_hot_buckets(
+        df, dim=dim, n_planes=6, bands=2, max_bucket=100
+    ).collect()
+    # the 1000-member cluster is reported once per band, with its members
+    assert len(hot) == 2
+    for r in hot:
+        assert r["size"] == 1000
+        assert r["member_ids"][:3] == [0, 1, 2] and len(r["member_ids"]) == 1000

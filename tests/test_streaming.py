@@ -226,3 +226,33 @@ def test_commit_batch_replay_converges(spark, tmp_path):
     s2 = current_snapshot(out)
     assert s2["snapshot_id"] == s["snapshot_id"]
     assert s2["run_ids"] == ["stream-000000"]
+
+
+def test_snapshot_reader_ignores_stale_pointer_and_sorts_numerically(tmp_path):
+    import json
+    import os
+
+    from bb_ocr_spark.plans.snapshots import commit_snapshot, current_snapshot
+
+    out = str(tmp_path / "tbl")
+    commit_snapshot(out, "run-1", 1, 1)
+    commit_snapshot(out, "run-2", 1, 2)
+    # the CURRENT pointer is a debug hint only: corrupt it, readers are
+    # unaffected (they resolve the max on-disk manifest)
+    with open(os.path.join(out, "snapshots", "CURRENT"), "w") as f:
+        f.write("snap-000001.json")
+    assert current_snapshot(out)["snapshot_id"] == 2
+
+    # numeric ordering past the zero-padding: snap-1000000 must beat
+    # snap-999999 (lexical sort would misorder and livelock the committer)
+    snap_dir = os.path.join(out, "snapshots")
+    for sid in (999_999, 1_000_000):
+        with open(os.path.join(snap_dir, f"snap-{sid:06d}.json"), "w") as f:
+            json.dump(
+                {"snapshot_id": sid, "parent_id": None, "run_ids": [f"r{sid}"],
+                 "n_docs_total": 0, "run_checksum": 0, "committed_at_ms": 0},
+                f,
+            )
+    assert current_snapshot(out)["snapshot_id"] == 1_000_000
+    m = commit_snapshot(out, "run-next", 1, 3)  # no livelock, chains on top
+    assert m["snapshot_id"] == 1_000_001
