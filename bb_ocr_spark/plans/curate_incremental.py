@@ -1,0 +1,116 @@
+"""Incremental corpus curation: each run processes only NEW documents,
+dedup state accumulates across runs, and every run commits a snapshot.
+
+A growing corpus can't re-curate from scratch per delivery; the
+production shape is:
+
+  1. scrub + quality-filter the incoming batch (narrow);
+  2. exact-dedup WITHIN the batch (min-id winner per fingerprint);
+  3. drop docs whose normalized-text fingerprint is already in the
+     ACCUMULATED fingerprint state from prior runs (left_anti on the
+     16-byte fp — text never joins);
+  4. append the survivors' curated rows and fingerprints as this run's
+     immutable directories;
+  5. commit a snapshot manifest (plans/snapshots.py) so readers get
+     time travel over curation runs exactly like extraction runs.
+
+Replay-safe the same way commit_batch is: a run_id already in the chain
+returns without writing; a complete run dir (_SUCCESS) is not rewritten;
+a partial one is cleared. At 100 TB the fingerprint state is a bucketed
+table keyed by fp so the anti-join co-locates without a full shuffle of
+history; here it is the same plan over the accumulated run dirs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sampling import split_col
+from ..functions.scrub import pii_scrub_col
+from ..functions.text import fingerprint_md5_col, quality_cols, token_count_col
+from .snapshots import commit_snapshot, current_snapshot
+
+FP_DIR = "fingerprints"
+
+
+def _fp_dirs(state_dir: str) -> list[str]:
+    cur = current_snapshot(state_dir)
+    if cur is None:
+        return []
+    return [
+        os.path.join(state_dir, FP_DIR, f"run_id={r}")
+        for r in cur["run_ids"]
+    ]
+
+
+def accumulated_fingerprints(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    dirs = [d for d in _fp_dirs(state_dir) if os.path.isdir(d)]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("fp")
+
+
+def _write_once(df: DataFrame, out_dir: str) -> None:
+    """errorifexists with replay semantics: complete dirs are kept,
+    partial ones cleared and rewritten (same contract as commit_batch)."""
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    df.write.mode("errorifexists").parquet(out_dir)
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    run_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Curate one delivery against the accumulated state; returns the
+    committed manifest plus this run's survivor count."""
+    cur = current_snapshot(state_dir)
+    if cur is not None and run_id in cur["run_ids"]:
+        return {"manifest": cur, "n_new": 0, "replayed": True}
+
+    scrubbed = batch.select(
+        F.col(id_col).alias("id"), pii_scrub_col(F.col(text_col)).alias("text")
+    )
+    kept = (
+        scrubbed.select("id", "text", *quality_cols(F.col("text")))
+        .filter(F.col("quality_keep"))
+        .select("id", "text")
+        .withColumn("fp", fingerprint_md5_col(F.col("text")))
+    )
+    # within-batch winners: min id per fingerprint
+    winners = kept.groupBy("fp").agg(F.min("id").alias("id"))
+    batch_uniq = kept.join(
+        winners.select("fp", F.col("id").alias("_wid")), "fp"
+    ).filter(F.col("id") == F.col("_wid")).select("id", "text", "fp")
+    # cross-run dedup: drop fingerprints already committed by prior runs
+    seen = accumulated_fingerprints(spark, state_dir)
+    if seen is not None:
+        batch_uniq = batch_uniq.join(seen, "fp", "left_anti")
+
+    curated = batch_uniq.select(
+        "id",
+        "text",
+        "fp",
+        token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
+        split_col(F.col("id")).alias("split"),
+    )
+    run_results = os.path.join(state_dir, "results", f"run_id={run_id}")
+    _write_once(curated, run_results)
+    committed = spark.read.parquet(run_results)  # lineage from durable data
+    _write_once(
+        committed.select("fp"), os.path.join(state_dir, FP_DIR, f"run_id={run_id}")
+    )
+    row = committed.selectExpr(
+        "count(*) AS n", "bit_xor(xxhash64(fp)) AS ck"
+    ).collect()[0]
+    manifest = commit_snapshot(state_dir, run_id, row["n"], row["ck"] or 0)
+    return {"manifest": manifest, "n_new": row["n"], "replayed": False}

@@ -89,3 +89,45 @@ def test_curation_near_dup_stage(spark):
     out2 = run_curation(df, shard_budget_tokens=300)
     assert out2["stats"].collect()[0]["n_near_dup_dropped"] == 0
     assert {400, 401} <= {r["id"] for r in out2["curated"].collect()}
+
+
+def test_incremental_curation_accumulates_state(spark, tmp_path):
+    from bb_ocr_spark.plans.curate_incremental import run_incremental_curation
+    from bb_ocr_spark.plans.snapshots import read_results_as_of
+
+    state = str(tmp_path / "state")
+
+    def doc(i, tag):
+        return (i, " ".join(f"w{tag}_{j} the of and to" for j in range(12)))
+
+    b1 = spark.createDataFrame(
+        [doc(i, f"a{i}") for i in range(10)], "doc_id long, text string"
+    )
+    r1 = run_incremental_curation(spark, b1, state, "run-1")
+    assert r1["n_new"] == 10 and not r1["replayed"]
+
+    # batch 2: 5 new docs, 3 exact copies of batch-1 texts (new ids), and
+    # one internal dup pair (ids 203/204 share a text)
+    rows2 = [doc(200 + i, f"b{i}") for i in range(5)]
+    rows2 += [(300 + i, b1.collect()[i]["text"]) for i in range(3)]
+    rows2.append((205, rows2[3][1]))  # duplicates doc 203's text
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    r2 = run_incremental_curation(spark, b2, state, "run-2")
+    # 5 new uniques minus the internal dup's loser -> 4 + 1 winner = 5;
+    # cross-run copies all dropped
+    assert r2["n_new"] == 5
+    assert r2["manifest"]["snapshot_id"] == 2
+    assert r2["manifest"]["n_docs_total"] == 15
+
+    # replay of run-2 converges without growing state
+    r2b = run_incremental_curation(spark, b2, state, "run-2")
+    assert r2b["replayed"] and r2b["manifest"]["snapshot_id"] == 2
+
+    # time travel: snapshot 2 sees both runs' survivors, no cross-run dups
+    all_rows = read_results_as_of(spark, state, 2).collect()
+    assert len(all_rows) == 15
+    texts = [r["text"] for r in all_rows]
+    assert len(set(texts)) == 15
+    # the internal-dup winner is the min id (203, not 205)
+    ids = {r["id"] for r in all_rows}
+    assert 203 in ids and 205 not in ids
