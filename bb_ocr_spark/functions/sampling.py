@@ -46,7 +46,10 @@ def deterministic_sample_col(
     the scalable replacement for rand()-based sampling (stable across
     retries, resumable, join-consistent: the same key samples identically
     in every table that applies the same salt)."""
-    return hash_bucket_col(key, resolution, salt) < int(fraction * resolution)
+    # rounded cutoff, not truncated — see mix_keep_col's comment
+    return hash_bucket_col(key, resolution, salt) < int(
+        round(fraction * resolution)
+    )
 
 
 def hash_bucket_sql(key: str, buckets: int = 100, salt: str = "split") -> str:

@@ -656,9 +656,13 @@ def dedup_clusters(
     Each round's label frame is localCheckpoint()ed: without lineage
     truncation the self-join DOUBLES the logical plan per round and
     re-optimization cost grows exponentially (measured: the test file
-    went 131s → timeout from plan growth alone, data unchanged). On a
-    real cluster swap localCheckpoint for reliable checkpoint() — local
-    checkpoints die with an executor."""
+    went 131s → timeout from plan growth alone, data unchanged).
+    Superseded rounds' checkpoint blocks are reclaimed by the
+    ContextCleaner once the python reference drops (checkpointing cuts
+    lineage, so nothing downstream pins them); worst-case transient
+    storage is the GC-latency window, not O(rounds). On a real cluster
+    swap localCheckpoint for reliable checkpoint() — local checkpoints
+    die with an executor."""
     from ..cache import track_persist  # noqa: PLC0415
 
     half = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -689,6 +693,10 @@ def dedup_clusters(
             "id",
             F.least(F.col("label"), F.coalesce("mn", "label")).alias("label"),
         )
+        # persist: the self-join below references relaxed on BOTH sides
+        # and Spark cannot CSE across self-joins — without this the
+        # edges⋈labels + groupBy-min subplan executes twice per round
+        relaxed = relaxed.persist()
         # pointer jumping: label ← min(label, label's own label). The
         # label graph is a forest pointing toward smaller ids, so this
         # halves the remaining distance to the root each round.
@@ -702,6 +710,7 @@ def dedup_clusters(
             "id", F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label")
         )
         new_labels = jumped.localCheckpoint(eager=True)  # truncate lineage
+        relaxed.unpersist()
         changed = (
             new_labels.join(
                 labels.select("id", F.col("label").alias("old")), "id"

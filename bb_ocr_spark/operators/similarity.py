@@ -242,6 +242,46 @@ def _band_seed(seed: int, band: int) -> int:
     return seed + band * 7919
 
 
+def _banded_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    bands: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    keep_vec: bool,
+) -> DataFrame:
+    """(id[, vec], band, bucket) rows — ONE definition of the banded
+    bucketing shared by embedding_dup_pairs and embedding_dup_hot_buckets
+    so the hot-bucket report is bit-identical to what the pair generator
+    suppresses (two hand-maintained copies would silently drift)."""
+    cols = [F.col(id_col).alias("id")] + (
+        [F.col(vec_col).alias("vec")] if keep_vec else []
+    )
+    base = df.select(*cols + ([] if keep_vec else [F.col(vec_col).alias("_v")]))
+    vec_ref = "vec" if keep_vec else "_v"
+    bucket_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            signature_col(
+                F.col(vec_ref), _hyperplanes(dim, n_planes, _band_seed(seed, band))
+            ).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    out_cols = ["id"] + (["vec"] if keep_vec else [])
+    # explode_outer: a plain explode's inferred size/isnotnull filter
+    # re-embeds every band's signature expression (n_planes dot products
+    # each) into extra per-row evaluations; the band array is a non-empty
+    # literal-arity construction, so outer emits identical rows
+    return base.select(
+        *out_cols, F.explode_outer(F.array(*bucket_structs)).alias("bk")
+    ).select(
+        *out_cols, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -280,23 +320,7 @@ def embedding_dup_pairs(
     The bucketed frame feeds the hot-bucket pre-pass plus both self-join
     sides (no CSE across self-joins) — persisted via cache.track_persist;
     call cache.release_persisted() after the consuming action."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    bucket_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            signature_col(
-                F.col("vec"), _hyperplanes(dim, n_planes, _band_seed(seed, band))
-            ).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
-    # explode_outer: a plain explode's inferred size/isnotnull filter
-    # re-embeds every band's signature expression (n_planes dot products
-    # each) into extra per-row evaluations; the band array is a non-empty
-    # literal-arity construction, so outer emits identical rows
-    b = base.select(
-        "id", "vec", F.explode_outer(F.array(*bucket_structs)).alias("bk")
-    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    b = _banded_buckets(df, dim, n_planes, bands, id_col, vec_col, seed, keep_vec=True)
     from ..cache import track_persist  # noqa: PLC0415
 
     b = track_persist(b)
@@ -341,19 +365,9 @@ def embedding_dup_hot_buckets(
     dup-cluster finding. (At extreme cluster sizes the member array is a
     single-reducer payload — select only (band, bucket, size) there and
     semi-join the bucketed frame for members instead.)"""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    bucket_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            signature_col(
-                F.col("vec"), _hyperplanes(dim, n_planes, _band_seed(seed, band))
-            ).alias("bucket"),
-        )
-        for band in range(bands)
-    ]
-    b = base.select(
-        "id", F.explode_outer(F.array(*bucket_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    b = _banded_buckets(
+        df, dim, n_planes, bands, id_col, vec_col, seed, keep_vec=False
+    )
     return (
         b.groupBy("band", "bucket")
         .agg(

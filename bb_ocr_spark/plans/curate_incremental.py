@@ -14,9 +14,13 @@ production shape is:
   5. commit a snapshot manifest (plans/snapshots.py) so readers get
      time travel over curation runs exactly like extraction runs.
 
-Replay-safe the same way commit_batch is: a run_id already in the chain
-returns without writing; a complete run dir (_SUCCESS) is not rewritten;
-a partial one is cleared. At 100 TB the fingerprint state is a bucketed
+Replay-safe: a run_id already in the chain returns without writing; an
+UNCOMMITTED run dir (crash anywhere before the snapshot commit) is
+always recomputed against the CURRENT accumulated state — keeping a
+stale complete dir could commit fingerprints another run claimed in the
+meantime. Deliveries must be curated SERIALLY: the snapshot CAS prevents
+lost manifests, but two runs curating concurrently against the same
+parent state could each keep the same new fingerprint. At 100 TB the fingerprint state is a bucketed
 table keyed by fp so the anti-join co-locates without a full shuffle of
 history; here it is the same plan over the accumulated run dirs.
 """
@@ -54,11 +58,15 @@ def accumulated_fingerprints(spark: SparkSession, state_dir: str) -> DataFrame |
     return spark.read.parquet(*dirs).select("fp")
 
 
-def _write_once(df: DataFrame, out_dir: str) -> None:
-    """errorifexists with replay semantics: complete dirs are kept,
-    partial ones cleared and rewritten (same contract as commit_batch)."""
-    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
-        return
+def _rewrite(df: DataFrame, out_dir: str) -> None:
+    """Unconditional clear-and-write. Unlike the streaming epoch's
+    write_run_once, an UNCOMMITTED incremental run dir must never be
+    reused: its rows were computed against the fingerprint state at
+    write time, and a run committed in between may have claimed some of
+    the same fingerprints — replaying the stale dir would commit
+    duplicates. Committed replays never reach here (the run_id guard at
+    the top returns first), so rewriting is always against the CURRENT
+    accumulated state."""
     shutil.rmtree(out_dir, ignore_errors=True)
     df.write.mode("errorifexists").parquet(out_dir)
 
@@ -104,9 +112,9 @@ def run_incremental_curation(
         split_col(F.col("id")).alias("split"),
     )
     run_results = os.path.join(state_dir, "results", f"run_id={run_id}")
-    _write_once(curated, run_results)
+    _rewrite(curated, run_results)
     committed = spark.read.parquet(run_results)  # lineage from durable data
-    _write_once(
+    _rewrite(
         committed.select("fp"), os.path.join(state_dir, FP_DIR, f"run_id={run_id}")
     )
     row = committed.selectExpr(

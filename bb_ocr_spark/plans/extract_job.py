@@ -139,7 +139,8 @@ def run_extract_job(
     if done is not None:
         skipped = done.count()
     # snapshot commit (Iceberg-analog): manifest chains to the parent and
-    # the CURRENT pointer swaps atomically — time-travel readers see
+    # manifests publish via an os.link CAS; readers resolve the max
+    # on-disk manifest (CURRENT is a debug hint only) — time-travel readers see
     # exactly the runs committed at a snapshot (plans/snapshots.py)
     run_ck = committed.selectExpr("bit_xor(checksum)").collect()[0][0]
     snap = commit_snapshot(output_dir, run_id, n_docs, run_ck or 0)

@@ -53,7 +53,11 @@ def _latest_manifest(output_dir: str) -> dict | None:
     the winner swaps the pointer) and can lose a commit outright.
     Ordered NUMERICALLY by the parsed snap id — a lexical sort breaks the
     moment ids outgrow the zero-padding ('snap-1000000.json' sorts before
-    'snap-999999.json', which would livelock the 1,000,001st commit)."""
+    'snap-999999.json', which would livelock the 1,000,001st commit).
+    Cost is one listdir per read/commit-retry — O(#snapshots) directory
+    entries; past ~10^5 snapshots add manifest compaction (fold the chain
+    into a new base manifest and prune), which Iceberg tables need at
+    that commit count anyway."""
     d = _snap_dir(output_dir)
     if not os.path.isdir(d):
         return None
@@ -123,6 +127,21 @@ def commit_snapshot(
             f.write(name)
         os.replace(cur_tmp, cur_path)  # debug hint only, see docstring
         return manifest
+
+
+def write_run_once(df: DataFrame, out_dir: str) -> None:
+    """Replay-safe run-directory write for DETERMINISTIC outputs (same
+    input → same rows, e.g. a streaming epoch's batch): a complete dir
+    (_SUCCESS) is kept, a partial one (crash mid-write) is cleared and
+    rewritten. NOT for state-dependent outputs — if the rows depend on
+    other runs' committed state (incremental curation), an uncommitted
+    dir may be stale and must be rewritten; see curate_incremental."""
+    import shutil  # noqa: PLC0415
+
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    df.write.mode("errorifexists").parquet(out_dir)
 
 
 def read_results_as_of(

@@ -82,10 +82,13 @@ class _TaskTimeListener:
 
 @contextmanager
 def per_task_durations(spark: SparkSession, group: str):
-    """Context manager: actions run inside (under the given job group)
-    get their per-partition task durations collected into the yielded
-    dict. Yields an empty dict and degrades silently if the py4j callback
-    server is unavailable."""
+    """Context manager: run exactly ONE action inside (under the given
+    job group); its write/result stage's per-partition task durations are
+    filled into the yielded dict AFTER the block exits (the dict is empty
+    during the block — the listener bus is drained at exit). With several
+    actions inside, only the LAST job's result stage is kept — wrap each
+    action in its own context instead. Yields an empty dict and degrades
+    silently if the py4j callback server is unavailable."""
     sc = spark.sparkContext
     listener = _TaskTimeListener(group)
     attached = False

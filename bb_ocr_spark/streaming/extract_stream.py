@@ -52,18 +52,15 @@ def commit_batch(
         existing manifest instead of appending a duplicate entry.
     """
     import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    from ..plans.snapshots import commit_snapshot  # noqa: PLC0415
+    from ..plans.snapshots import commit_snapshot, write_run_once  # noqa: PLC0415
 
     run_dir = os.path.join(output_dir, "results", f"run_id={run_id}")
-    if not os.path.exists(os.path.join(run_dir, "_SUCCESS")):
-        shutil.rmtree(run_dir, ignore_errors=True)  # partial leftovers
-        batch_df.withColumn("part_id", F.spark_partition_id()).write.mode(
-            "errorifexists"
-        ).parquet(run_dir)
+    write_run_once(
+        batch_df.withColumn("part_id", F.spark_partition_id()), run_dir
+    )
     committed = spark.read.parquet(run_dir)  # lineage from durable data
     row = committed.selectExpr(
         "count(*) AS n", "bit_xor(checksum) AS ck"
