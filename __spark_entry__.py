@@ -1582,6 +1582,38 @@ WHERE {bucket} < CASE source
 """
 
 
+def _q_source_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full mixture semantics incl. UPSAMPLING: weight 2.5 = two copies of
+    # every doc + a key-stable half get a third (epochs-per-source)
+    from bb_ocr_spark.functions.sampling import mix_sources_with_repeats
+
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    return mix_sources_with_repeats(
+        _docs(spark, sf_dir), weights, default=0.5
+    ).select("doc_id", "source", F.col("copy_idx").cast("bigint").alias("copy_idx"))
+
+
+def _oracle_source_mix_epochs() -> str:
+    from bb_ocr_spark.functions.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 1_000_000, "mix")
+    return f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CASE source
+           WHEN 'src0' THEN 2 + (CASE WHEN {b} < 500000 THEN 1 ELSE 0 END)
+           WHEN 'src1' THEN 1
+           WHEN 'src2' THEN 0 + (CASE WHEN {b} < 250000 THEN 1 ELSE 0 END)
+           ELSE 0 + (CASE WHEN {b} < 500000 THEN 1 ELSE 0 END)
+         END AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_idx
+FROM c WHERE n > 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_extract_reassemble(spark, SF0001)
@@ -1629,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_dedup": _q_host_dedup,
         "dup_clusters": _q_dup_clusters,
         "source_mix": _q_source_mix,
+        "source_mix_epochs": _q_source_mix_epochs,
     }
 
 
@@ -1674,4 +1707,5 @@ def oracle_sql() -> dict[str, str]:
         "host_dedup": _ORACLE_HOST_DEDUP,
         "dup_clusters": _ORACLE_DUP_CLUSTERS,
         "source_mix": _oracle_source_mix(),
+        "source_mix_epochs": _oracle_source_mix_epochs(),
     }

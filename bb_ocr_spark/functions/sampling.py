@@ -103,3 +103,53 @@ def mix_sources(
     return df.filter(
         mix_keep_col(F.col(key_col), F.col(source_col), weights, default, salt)
     )
+
+
+def mix_copies_col(
+    key: Column,
+    source: Column,
+    weights: dict[str, float],
+    default: float = 0.0,
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+) -> Column:
+    """Integer copy count implementing FULL mixture semantics, including
+    UPSAMPLING: weight 2.5 keeps every doc twice and a key-stable half of
+    them a third time (epochs-per-source, the way curated sources are
+    upweighted against crawl). copies = floor(w) + (bucket < frac(w)).
+    mix_keep_col is the w <= 1 special case. Explode
+    F.sequence(1, copies) (filtered > 0) to materialize the repeats with
+    a copy index for shard/epoch assignment."""
+    b = hash_bucket_col(key, resolution, salt)
+
+    def copies(w: float) -> Column:
+        whole = int(w)
+        frac_cut = int(round((w - whole) * resolution))
+        return (F.lit(whole) + (b < frac_cut).cast("int")).cast("int")
+
+    expr = None
+    for src, w in sorted(weights.items()):
+        cond = source == F.lit(src)
+        expr = F.when(cond, copies(w)) if expr is None else expr.when(cond, copies(w))
+    fallback = copies(default)
+    return fallback if expr is None else expr.otherwise(fallback)
+
+
+def mix_sources_with_repeats(
+    df,
+    weights: dict[str, float],
+    default: float = 0.0,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+):
+    """df with each row repeated per its mixture copy count (copy_idx
+    1..n added); rows with zero copies disappear. Deterministic and
+    append-stable like every sampler here."""
+    n = mix_copies_col(F.col(key_col), F.col(source_col), weights, default, salt)
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn("copy_idx", F.explode_outer(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

@@ -217,3 +217,27 @@ def test_embedding_dup_hot_buckets_reports_capped_clusters(spark):
     for r in hot:
         assert r["size"] == 1000
         assert r["member_ids"][:3] == [0, 1, 2] and len(r["member_ids"]) == 1000
+
+
+def test_mix_sources_with_repeats_upsampling(spark):
+    from bb_ocr_spark.functions.sampling import mix_sources_with_repeats
+
+    rows = [(i, f"src{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources_with_repeats(df, {"src0": 2.5, "src1": 0.5}).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r["source"], r["doc_id"]), []).append(r["copy_idx"])
+    # src0: every doc 2 or 3 copies, mean ~2.5; copy_idx is 1..n
+    src0_counts = [len(v) for (s, _), v in by_key.items() if s == "src0"]
+    assert set(src0_counts) <= {2, 3}
+    assert abs(sum(src0_counts) / 1000 - 2.5) < 0.2
+    for (s, _), v in by_key.items():
+        assert sorted(v) == list(range(1, len(v) + 1))
+    # src1: ~half the docs, single copy
+    src1 = [v for (s, _), v in by_key.items() if s == "src1"]
+    assert all(v == [1] for v in src1)
+    assert abs(len(src1) / 1000 - 0.5) < 0.1
+    # determinism
+    out2 = mix_sources_with_repeats(df.repartition(9), {"src0": 2.5, "src1": 0.5}).collect()
+    assert len(out2) == len(out)
