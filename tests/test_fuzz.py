@@ -182,3 +182,40 @@ def test_spark_locale_parse_matches_python_on_fuzz_corpus(spark):
         else:
             assert amt == want_amt, (s, amt, want_amt)
         assert ccy == want_ccy, (s, ccy, want_ccy)
+
+
+def test_fuzz_pii_scrub_matches_python_re(spark):
+    # one Spark job over an adversarial ASCII corpus: the Java-regex PII
+    # chain must equal the python-re replay character-for-character (the
+    # patterns are restricted to the Java∩RE2∩python subset; ASCII scope —
+    # \b is ASCII in Java/RE2 but unicode-aware in python)
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.functions.scrub import PII_CHAIN, pii_scrub_col
+
+    rng = random.Random("pii-fuzz")
+    frags = [
+        "a@b.co", "x.y+z@ex-ample.org", "@nope", "a@b", "1.2.3.4",
+        "999.999.999.999", "10.0.0.256", "+1 555-123-4567", "call 44 20 111",
+        "4111111111111111", "123456789012", "12345678901234567890",
+        "word", "a-b", ".", "@", " ", "--", "+", "(12) 34",
+    ]
+    rows = []
+    for i in range(400):
+        n = rng.randrange(1, 8)
+        rows.append((str(i), " ".join(rng.choice(frags) for _ in range(n))))
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", pii_scrub_col(F.col("text")).alias("s")).collect()
+    }
+
+    def py_chain(t):
+        for _, pat, repl in PII_CHAIN:
+            t = re.sub(pat, repl, t)
+        return t
+
+    for id_, text in rows:
+        assert got[id_] == py_chain(text), (id_, text)
