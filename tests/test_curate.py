@@ -131,3 +131,21 @@ def test_incremental_curation_accumulates_state(spark, tmp_path):
     # the internal-dup winner is the min id (203, not 205)
     ids = {r["id"] for r in all_rows}
     assert 203 in ids and 205 not in ids
+
+
+def test_incremental_curation_empty_survivor_run(spark, tmp_path):
+    # a delivery where nothing survives (all quality-failed or all dups)
+    # must still commit a clean n=0 snapshot and not corrupt the chain
+    from bb_ocr_spark.plans.curate_incremental import run_incremental_curation
+
+    state = str(tmp_path / "state")
+    good = spark.createDataFrame(
+        [(1, " ".join(f"w{j} the of and to" for j in range(12)))],
+        "doc_id long, text string",
+    )
+    assert run_incremental_curation(spark, good, state, "run-1")["n_new"] == 1
+    junk = spark.createDataFrame([(2, "x")], "doc_id long, text string")
+    r = run_incremental_curation(spark, junk, state, "run-2")
+    assert r["n_new"] == 0
+    assert r["manifest"]["snapshot_id"] == 2
+    assert r["manifest"]["n_docs_total"] == 1
