@@ -20,9 +20,17 @@ always recomputed against the CURRENT accumulated state — keeping a
 stale complete dir could commit fingerprints another run claimed in the
 meantime. Deliveries must be curated SERIALLY: the snapshot CAS prevents
 lost manifests, but two runs curating concurrently against the same
-parent state could each keep the same new fingerprint. At 100 TB the fingerprint state is a bucketed
-table keyed by fp so the anti-join co-locates without a full shuffle of
-history; here it is the same plan over the accumulated run dirs.
+parent state could each keep the same new fingerprint.
+
+At 100 TB the fingerprint state must NOT be re-shuffled per delivery —
+pass `bucketed_fp_table` and the state accumulates as a table hash-
+bucketed on fp: each run appends its (fp, run_id) rows bucketed once at
+write time, and the per-delivery anti-join reads the state side with NO
+Exchange (only the small batch side shuffles into the bucket layout).
+Replays may append duplicate (fp, run_id) rows for an uncommitted run —
+harmless, the anti-join is an existence check and only COMMITTED run_ids
+count as state. Without the option the state is the accumulated per-run
+parquet dirs (same plan, state side re-shuffles per delivery).
 """
 
 from __future__ import annotations
@@ -58,6 +66,40 @@ def accumulated_fingerprints(spark: SparkSession, state_dir: str) -> DataFrame |
     return spark.read.parquet(*dirs).select("fp")
 
 
+def append_bucketed_fingerprints(
+    df: DataFrame, table: str, buckets: int = 16
+) -> None:
+    """Append (fp, run_id) rows to the hash-bucketed state table — the
+    one-time shuffle that makes every later anti-join read the state
+    side exchange-free."""
+    (
+        df.write.mode("append")
+        .bucketBy(buckets, "fp")
+        .sortBy("fp")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def committed_bucketed_fingerprints(
+    spark: SparkSession, state_dir: str, table: str
+) -> DataFrame | None:
+    """fp state restricted to COMMITTED run_ids (a replayed uncommitted
+    run may have appended rows that do not count yet). The run_id filter
+    does not disturb the scan's bucket layout, so the anti-join's state
+    side stays Exchange-free."""
+    if not spark.catalog.tableExists(table):
+        return None
+    cur = current_snapshot(state_dir)
+    if cur is None:
+        return None
+    return (
+        spark.table(table)
+        .filter(F.col("run_id").isin(cur["run_ids"]))
+        .select("fp")
+    )
+
+
 def _rewrite(df: DataFrame, out_dir: str) -> None:
     """Unconditional clear-and-write. Unlike the streaming epoch's
     write_run_once, an UNCOMMITTED incremental run dir must never be
@@ -78,6 +120,8 @@ def run_incremental_curation(
     run_id: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucketed_fp_table: str | None = None,
+    fp_buckets: int = 16,
 ) -> dict:
     """Curate one delivery against the accumulated state; returns the
     committed manifest plus this run's survivor count."""
@@ -100,7 +144,12 @@ def run_incremental_curation(
         winners.select("fp", F.col("id").alias("_wid")), "fp"
     ).filter(F.col("id") == F.col("_wid")).select("id", "text", "fp")
     # cross-run dedup: drop fingerprints already committed by prior runs
-    seen = accumulated_fingerprints(spark, state_dir)
+    if bucketed_fp_table is not None:
+        seen = committed_bucketed_fingerprints(
+            spark, state_dir, bucketed_fp_table
+        )
+    else:
+        seen = accumulated_fingerprints(spark, state_dir)
     if seen is not None:
         batch_uniq = batch_uniq.join(seen, "fp", "left_anti")
 
@@ -117,6 +166,14 @@ def run_incremental_curation(
     _rewrite(
         committed.select("fp"), os.path.join(state_dir, FP_DIR, f"run_id={run_id}")
     )
+    if bucketed_fp_table is not None:
+        # append BEFORE the snapshot commit: the moment run_id becomes
+        # committed, its fps must already be in the state table
+        append_bucketed_fingerprints(
+            committed.select("fp").withColumn("run_id", F.lit(run_id)),
+            bucketed_fp_table,
+            fp_buckets,
+        )
     row = committed.selectExpr(
         "count(*) AS n", "bit_xor(xxhash64(fp)) AS ck"
     ).collect()[0]
