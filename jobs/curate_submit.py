@@ -1,0 +1,69 @@
+"""spark-submit entrypoint for incremental corpus curation.
+
+Cluster usage (same packaging contract as jobs/extract_submit.py):
+
+    python tools/make_pyfiles.py                     # -> dist/bb_ocr_spark.zip
+    spark-submit --py-files dist/bb_ocr_spark.zip \
+        jobs/curate_submit.py \
+        --input  <documents parquet path (doc_id, text, ...)> \
+        --state  <curation state dir> \
+        --run-id <delivery id> \
+        [--fp-table NAME] [--eval-input PATH] [--shard-budget N]
+
+Each invocation curates ONE delivery against the accumulated state
+(plans/curate_incremental.py): scrub + quality, in-batch exact dedup,
+anti-join against prior runs' fingerprints (optionally a hash-bucketed
+state table via --fp-table so the history side never re-shuffles), then
+a snapshot commit. Re-running a committed --run-id is a no-op; crashed
+runs are recomputed against the current state. Deliveries must be
+submitted serially (documented in the plan module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--fp-table", default=None)
+    ap.add_argument("--eval-input", default=None,
+                    help="optional eval/benchmark docs to decontaminate against")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from bb_ocr_spark.plans.curate_incremental import run_incremental_curation
+
+    spark = SparkSession.builder.appName("bb_ocr_curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    batch = spark.read.parquet(args.input)
+    if args.eval_input:
+        from bb_ocr_spark.operators.decontaminate import decontaminate
+
+        batch = decontaminate(batch, spark.read.parquet(args.eval_input))
+
+    out = run_incremental_curation(
+        spark,
+        batch,
+        args.state,
+        args.run_id,
+        bucketed_fp_table=args.fp_table,
+    )
+    print(json.dumps({
+        "run_id": args.run_id,
+        "n_new": out["n_new"],
+        "replayed": out["replayed"],
+        "snapshot_id": out["manifest"]["snapshot_id"],
+        "n_docs_total": out["manifest"]["n_docs_total"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
