@@ -170,6 +170,29 @@ def main() -> None:
         ).count(),
     )
 
+    from bb_ocr_spark.operators.decontaminate import contaminated_docs
+    from bb_ocr_spark.operators.dedup import dedup_clusters
+
+    # decontamination at 5x: eval = every 97th doc of tile 0
+    stage(
+        "decontam_25k",
+        lambda: contaminated_docs(
+            docs, docs.filter(F.col("doc_id") % 97 == 0), n=3
+        ).count(),
+    )
+    # cluster resolution over the 25k-doc near-dup pair set: every tile
+    # family (5 near-dup copies) must land in ONE cluster
+    def clusters():
+        pairs = minhash_lsh_verified_pairs(docs, threshold=0.5).select(
+            "id_a", "id_b"
+        )
+        c = dedup_clusters(pairs)
+        return c.selectExpr(
+            "count(*) AS n", "count(DISTINCT cluster_id) AS k"
+        ).collect()[0].asDict()
+
+    stage("dup_clusters_25k", clusters)
+
     line = {
         "metric": "soak",
         "n_span_docs": N_SPAN_DOCS,
