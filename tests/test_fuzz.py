@@ -219,3 +219,60 @@ def test_fuzz_pii_scrub_matches_python_re(spark):
 
     for id_, text in rows:
         assert got[id_] == py_chain(text), (id_, text)
+
+
+def test_fuzz_repetition_metrics_match_python(spark):
+    # random multi-line ASCII docs: the expression-only repetition metrics
+    # must equal the python set-semantics reference exactly
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.functions.scrub import repetition_cols
+
+    rng = random.Random("rep-fuzz")
+    lines_pool = ["alpha beta", "g  h", " x ", "", "tail", "alpha beta", "zz"]
+    rows = []
+    for i in range(300):
+        n = rng.randrange(0, 10)
+        rows.append((str(i), "\n".join(rng.choice(lines_pool) for _ in range(n))))
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: (r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in df.select("id", *repetition_cols(F.col("text"))).collect()
+    }
+
+    for id_, text in rows:
+        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        n = len(lines)
+        distinct = list(dict.fromkeys(lines))
+        chars = sum(len(x) for x in lines)
+        dchars = sum(len(x) for x in distinct)
+        want = (
+            n,
+            round((n - len(distinct)) / n, 6) if n else 0.0,
+            round((chars - dchars) / chars, 6) if chars else 0.0,
+        )
+        assert got[id_] == want, (id_, text)
+
+
+def test_fuzz_assign_shards_prefix_property(spark):
+    # random weights + string keys: prefix sums must equal the python
+    # global-order fold for any bucket count / parallelism
+    from bb_ocr_spark.operators.packing import assign_shards
+
+    rng = random.Random("shard-fuzz")
+    rows = [(f"k{rng.randrange(10**9):09d}_{i}", rng.randrange(1, 500))
+            for i in range(777)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    for num_buckets, levels in ((7, 1), (32, 2)):
+        got = {
+            r["doc_id"]: (r["prefix"], r["shard_id"])
+            for r in assign_shards(
+                df.repartition(5), budget=1000,
+                num_buckets=num_buckets, levels=levels, fanout=4,
+            ).collect()
+        }
+        prefix = 0
+        for k, w in sorted(rows):
+            assert got[k] == (prefix, prefix // 1000), (k, num_buckets, levels)
+            prefix += w
