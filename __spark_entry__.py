@@ -1506,11 +1506,12 @@ WITH u AS (
     nullif(regexp_extract(lower(trim(url)),
       '^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@]*@)?(?:www\.)?([^/:?#]+)', 1),
       '') AS host,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       lower(regexp_extract(trim(url), '^([^/]*//[^/]*)', 1))
         || regexp_replace(trim(url), '^[^/]*//[^/]*', ''),
       '#.*$', ''),
-      '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+      '\?(?:(?:utm_[A-Za-z_]+|fbclid|gclid)=[^&#]*(?:&|$))+', '?', 'g'),
+      '&(?:(?:utm_[A-Za-z_]+|fbclid|gclid)=[^&#]*(?:&|$))+', '&', 'g'),
       '[?&]$', ''),
       '/$', '') AS canon
   FROM u

@@ -22,16 +22,37 @@ persist is the local[..]/interactive shape of the same decision.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()  # concurrent sessions/threads may track at once
+
+
+def _prune_locked() -> None:
+    # drop handles whose cache is already gone (caller unpersisted, or
+    # catalog.clearCache() as bench.py does between repeats) so a
+    # long-lived session doesn't accumulate dead DataFrame refs; callers
+    # hold _LOCK
+    alive = []
+    for df in _TRACKED:
+        try:
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                alive.append(df)
+        except Exception:  # session stopped — handle is dead either way
+            pass
+    _TRACKED[:] = alive
 
 
 def track_persist(df: DataFrame) -> DataFrame:
     """persist(MEMORY_AND_DISK) + register for release_persisted()."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(df)
+    with _LOCK:
+        _prune_locked()
+        _TRACKED.append(df)
     return df
 
 
@@ -39,11 +60,12 @@ def release_persisted() -> int:
     """Unpersist every tracked operator-internal cache; returns how many
     handles were released. Safe to call at any time — Spark unpersist is
     idempotent and lazy plans re-persist on next use."""
-    n = len(_TRACKED)
-    for df in _TRACKED:
+    with _LOCK:
+        tracked, _TRACKED[:] = list(_TRACKED), []
+    n = len(tracked)
+    for df in tracked:
         try:
             df.unpersist()
         except Exception:  # session already stopped
             pass
-    _TRACKED.clear()
     return n

@@ -34,10 +34,10 @@ PII_CHAIN: list[tuple[str, str, str]] = [
 
 
 def pii_count_cols(text: Column) -> list[Column]:
-    """n_<kind> counts, measured BEFORE masking, in chain order — each
-    pattern counted on the text with the previous masks applied, exactly
-    as the scrubber sees it (an email's digits must not also count as a
-    phone)."""
+    """n_<kind> counts, measured DURING the masking chain, in chain order —
+    each pattern counted on the text with the previous masks applied,
+    exactly as the scrubber sees it (an email's digits must not also count
+    as a phone)."""
     cols = []
     cur = text
     for name, pat, repl in PII_CHAIN:
@@ -105,6 +105,14 @@ def repetition_cols(text: Column, line_sep: str = "\n") -> list[Column]:
 
 _HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@]*@)?(?:www\.)?([^/:?#]+)"
 
+# Tracking-param strip must be anchored at a param boundary ('?' or '&'):
+# unanchored, '?xutm_source=1' would be mangled to '?x'. Written as a run
+# of whole tracking params each consuming its trailing '&' (or end of
+# string), applied twice with a LITERAL '?' / '&' prefix + replacement —
+# backref-free so the DuckDB oracle replays it without engine-specific
+# group-reference syntax ($1 vs \1).
+_TRACK_RUN = r"(?:(?:utm_[A-Za-z_]+|fbclid|gclid)=[^&#]*(?:&|$))+"
+
 
 def canonical_host_col(url: Column) -> Column:
     """lowercased registrable host: scheme, userinfo, leading www., port,
@@ -125,7 +133,8 @@ def canonical_url_col(url: Column) -> Column:
         F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
     )
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"\?" + _TRACK_RUN, "?")
+    u = F.regexp_replace(u, "&" + _TRACK_RUN, "&")
     u = F.regexp_replace(u, r"[?&]$", "")
     u = F.regexp_replace(u, r"/$", "")
     return u

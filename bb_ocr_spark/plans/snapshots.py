@@ -115,6 +115,17 @@ def commit_snapshot(
         except FileExistsError:
             os.unlink(tmp)
             continue  # lost the race — rebuild against the new parent
+        except OSError:
+            # filesystem without hard links (some object-store mounts:
+            # EPERM/ENOTSUP) — O_CREAT|O_EXCL open is the same
+            # create-exclusive CAS, minus link's stronger NFS atomicity
+            try:
+                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race — rebuild against the new parent
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -79,22 +79,34 @@ def warm_page_cache(*roots: str) -> None:
 
 
 _SPARK = None  # set in main(); timed() clears persisted data between runs
+_SAMPLES: dict[str, list[float]] = {}  # per-repeat wall times, keyed by query
 
 
-def timed(fn, repeats: int = 2) -> float:
+def timed(fn, repeats: int = 2, name: str | None = None) -> float:
     """min-of-N wall time: the first run pays cold OS page cache + JIT, so
     a single sample is hostage to 2-6x measured host noise (BENCH/
     BASELINE.md); the min is the reproducible number. Spark-persisted
     data is cleared between repeats — operators that persist internal
     subplans (minhash signatures, the ngram inverted index) must pay
-    their full cost in every sample, not coast on the previous run."""
+    their full cost in every sample, not coast on the previous run.
+
+    Every individual repeat is recorded in _SAMPLES and emitted as the
+    "samples" field of the bench JSON, so a min that disagrees with the
+    builder's measurement can be adjudicated from the record alone
+    (noise shows as one bad sample among good ones; a real regression
+    shows as uniformly slow samples)."""
     best = float("inf")
+    samples: list[float] = []
     for _ in range(repeats):
         if _SPARK is not None:
             _SPARK.catalog.clearCache()
         t0 = time.monotonic()
         fn()
-        best = min(best, time.monotonic() - t0)
+        dt = time.monotonic() - t0
+        samples.append(round(dt, 3))
+        best = min(best, dt)
+    if name is not None:
+        _SAMPLES[name] = samples
     return round(best, 3)
 
 
@@ -114,25 +126,31 @@ def main() -> None:
     q["extract_inline"] = timed(
         lambda: extract_inline(spans_df).selectExpr(
             "sum(size(spans))"
-        ).collect()
+        ).collect(),
+        name="extract_inline",
     )
     q["tokenize_html"] = timed(
-        lambda: tokenize_html_expr(html_df).selectExpr("sum(size(spans))").collect()
+        lambda: tokenize_html_expr(html_df).selectExpr("sum(size(spans))").collect(),
+        name="tokenize_html",
     )
     q["assemble_exploded"] = timed(
         lambda: assemble_spans(filter_spans(explode_spans(spans_df)))
         .selectExpr("sum(size(spans))")
-        .collect()
+        .collect(),
+        name="assemble_exploded",
     )
     q["extract_metadata"] = timed(
         lambda: extract_metadata_df(spans_df).selectExpr(
             "count(isbn_13)", "count(year)", "count(genre)"
-        ).collect()
+        ).collect(),
+        name="extract_metadata",
     )
     q["extract_metadata_fullpipe"] = timed(
         lambda: extract_metadata_full_df(spans_df)
         .selectExpr("bit_xor(xxhash64(struct(*)))")
-        .collect()
+        .collect(),
+        repeats=3,
+        name="extract_metadata_fullpipe",
     )
 
     # relational workloads: every driver-contract query at SF_DIR.
@@ -149,7 +167,8 @@ def main() -> None:
         q[name] = timed(
             lambda fn=fn: fn(spark, SF_DIR)
             .selectExpr("bit_xor(xxhash64(struct(*)))")
-            .collect()
+            .collect(),
+            name=name,
         )
 
     total = round(sum(q.values()), 3)
@@ -165,6 +184,7 @@ def main() -> None:
                 "n_interleaved_docs": N_DOCS,
                 "extract_docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
+                "samples": _SAMPLES,
             }
         )
     )

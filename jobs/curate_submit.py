@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--fp-table", default=None)
     ap.add_argument("--eval-input", default=None,
                     help="optional eval/benchmark docs to decontaminate against")
+    ap.add_argument("--shard-budget", type=int, default=None,
+                    help="token budget per training shard; when set, this "
+                         "run's survivors get (id, weight, prefix, shard_id) "
+                         "written to <state>/shards/run_id=<run-id>")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +59,24 @@ def main() -> None:
         args.run_id,
         bucketed_fp_table=args.fp_table,
     )
+    if args.shard_budget:
+        import os
+
+        from bb_ocr_spark.cache import release_persisted
+        from bb_ocr_spark.operators.packing import assign_shards
+        from bb_ocr_spark.plans.snapshots import write_run_once
+
+        committed = spark.read.parquet(
+            os.path.join(args.state, "results", f"run_id={args.run_id}")
+        )
+        # deterministic given the committed run results, so write_run_once's
+        # skip-if-_SUCCESS replay rule applies
+        write_run_once(
+            assign_shards(committed, args.shard_budget, key_col="id"),
+            os.path.join(args.state, "shards", f"run_id={args.run_id}"),
+        )
+        release_persisted()
+
     print(json.dumps({
         "run_id": args.run_id,
         "n_new": out["n_new"],

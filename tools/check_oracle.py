@@ -4,7 +4,8 @@ Runs every __spark_entry__.queries() entry at sf0.01 and compares against
 its oracle_sql() via DuckDB: row count, column names, and order-insensitive
 per-column values (sorted-by-name columns, stringified, sorted rows).
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query1,query2,...]
+(second arg restricts the gate to the named queries — fast targeted check)
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ def norm_frame(df) -> list[tuple]:
     return sorted(map(tuple, sub.values.tolist())), cols
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     # the IVF oracle bakes centroid literals at oracle_sql() time from
     # SPARK_GRAFT_ORACLE_SF_DIR — pin it to THIS gate's dir so gating at
     # sf0.001/sf0.1 compares matching centroid models (the driver's own
@@ -44,6 +45,8 @@ def main(sf_dir: str) -> int:
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         got_df = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name}: NO-ORACLE rows={len(got_df)}")
@@ -75,4 +78,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+        )
+    )
