@@ -1620,6 +1620,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_extract_reassemble(spark, SF0001)
 
 
+_SUBSTR_K = 5
+
+
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-wide substring-level dedup (Lee et al. ExactSubstr semantics
+    # at token k-gram granularity): any k-token run occurring >= 2 times
+    # corpus-wide is removed everywhere but its globally-first occurrence;
+    # Spark = hashed-gram inventory + groupBy + run merge, oracle =
+    # string k-grams + window keeper + set-based coverage
+    from bb_ocr_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), k=_SUBSTR_K)
+
+
+_ORACLE_SUBSTRING_DEDUP = f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), occ AS (
+  SELECT id, i AS pos, array_to_string(t[i:i+{_SUBSTR_K}-1], chr(1)) AS g
+  FROM tk, unnest(range(1, len(t) - {_SUBSTR_K} + 2)) AS u(i)
+), rn AS (
+  SELECT id, pos, row_number() OVER (PARTITION BY g ORDER BY id, pos) AS r
+  FROM occ
+), flagged AS (
+  SELECT id, pos FROM rn WHERE r >= 2
+), covered AS (
+  SELECT DISTINCT id, pos + d AS p
+  FROM flagged, unnest(range(0, {_SUBSTR_K})) v(d)
+), runs AS (
+  SELECT id, count(*) AS n_runs FROM (
+    SELECT id, pos, lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+    FROM flagged) WHERE prev IS NULL OR pos - prev > {_SUBSTR_K}
+  GROUP BY id
+), toks AS (
+  SELECT id, unnest(t) AS tok, generate_subscripts(t, 1) AS tp FROM tk
+), kepttxt AS (
+  SELECT toks.id, string_agg(tok, ' ' ORDER BY tp) AS txt
+  FROM toks LEFT JOIN covered cv ON toks.id = cv.id AND toks.tp = cv.p
+  WHERE cv.p IS NULL GROUP BY toks.id
+)
+SELECT t.id AS doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_dup_runs,
+       coalesce(k.txt, '') AS text_dedup
+FROM tk t
+LEFT JOIN (SELECT id, count(*) AS n_cov FROM covered GROUP BY id) c
+       ON t.id = c.id
+LEFT JOIN runs r ON t.id = r.id
+LEFT JOIN kepttxt k ON t.id = k.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_reassemble": _q_extract_reassemble,
@@ -1661,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": _q_decontam,
         "host_dedup": _q_host_dedup,
         "dup_clusters": _q_dup_clusters,
+        "substring_dedup": _q_substring_dedup,
         "source_mix": _q_source_mix,
         "source_mix_epochs": _q_source_mix_epochs,
     }
@@ -1707,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": _ORACLE_DECONTAM,
         "host_dedup": _ORACLE_HOST_DEDUP,
         "dup_clusters": _ORACLE_DUP_CLUSTERS,
+        "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "source_mix": _oracle_source_mix(),
         "source_mix_epochs": _oracle_source_mix_epochs(),
     }

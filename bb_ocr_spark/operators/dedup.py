@@ -728,3 +728,213 @@ def dedup_clusters(
         )
     out = labels.select("id", F.col("label").alias("cluster_id"))
     return out
+
+
+# --------------------------------------------------------------------------
+# substring-level dedup (token k-gram granularity)
+# --------------------------------------------------------------------------
+
+
+def _gram_occurrences_expr(
+    base: DataFrame, k: int
+) -> DataFrame:
+    """(id, _tk) → (id, pos, g): one row per token k-gram occurrence, with
+    pos the 1-based start token index and g a 64-bit gram hash
+    (xxhash64 over the k per-token xxhash64 values — no gram STRINGS are
+    ever built, the hashed_shingles_col discipline). Docs shorter than k
+    tokens emit no rows. Pure expressions: O(k) per gram, the right
+    choice for small k; see _gram_occurrences_rolling for large k."""
+    hashed = base.select(
+        "id", F.transform(F.col("_tk"), lambda t: F.xxhash64(t)).alias("_th")
+    )
+    n_gr = F.size(F.col("_th")) - (k - 1)
+    grams = F.when(
+        n_gr >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_gr),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.xxhash64(
+                    *[F.try_element_at(F.col("_th"), i + j) for j in range(k)]
+                ).alias("g"),
+            ),
+        ),
+    )
+    # explode_outer, never explode: a plain explode of a COMPUTED array
+    # gets an inferred size>0/isnotnull filter pushed past the projection
+    # with the generator expression re-inlined twice (the Generate-filter
+    # trap, measured 10-33x elsewhere in this module). Short docs yield a
+    # null row, dropped by the cheap post-filter on the GENERATED column.
+    occ = hashed.select("id", F.explode_outer(grams).alias("o")).filter(
+        F.col("o").isNotNull()
+    )
+    return occ.select("id", F.col("o.pos").alias("pos"), F.col("o.g").alias("g"))
+
+
+def _gram_occurrences_rolling(base: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched rolling-hash variant of _gram_occurrences_expr: O(1)
+    per gram after an O(n) prefix pass, the scale path when k is large
+    (Lee et al. use k=50 — the expression form costs O(k) per token there).
+
+    Per doc: token hashes h_i (crc32), wrapping-mod-2^64 polynomial
+    prefix Q_i = sum h_j * B^-j, gram(s..s+k-1) = (Q_{s+k-1} - Q_{s-2})
+    * B^{s+k-2}; all numpy uint64 (unsigned wraps ARE mod-2^64
+    arithmetic). Hash values differ from the expr path by construction —
+    only gram EQUALITY matters, and both are collision-negligible at
+    64 bits. The python loop is per DOCUMENT (crc32 per token is the only
+    per-token python work); the polynomial algebra is vectorized."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    id_type = dict(base.dtypes)["id"]
+    B = np.uint64(0x9E3779B97F4A7C15)  # odd ⇒ invertible mod 2^64
+    BINV = np.uint64(pow(int(B), -1, 1 << 64))
+
+    def gen(batches):
+        import zlib  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, poss, gs = [], [], []
+            for id_, toks in zip(pdf["id"], pdf["_tk"]):
+                n = len(toks)
+                if n < k:
+                    continue
+                h = np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) for t in toks),
+                    dtype=np.uint64,
+                    count=n,
+                )
+                binv_pow = np.cumprod(np.full(n, BINV, dtype=np.uint64))
+                b_pow = np.cumprod(np.full(n, B, dtype=np.uint64))
+                # Q[j] = sum_{m<=j} h[m]·Binv^{m+1} (wraps = mod 2^64), so
+                # gram at 0-based s = (Q[s+k-1] - Q[s-1]) · B^{s+k}
+                # (Q[-1] = 0); b_pow[j] = B^{j+1} ⇒ B^{s+k} = b_pow[s+k-1]
+                q = np.cumsum(h * binv_pow)
+                diff = q[k - 1 :] - np.concatenate(
+                    (np.zeros(1, dtype=np.uint64), q[: n - k])
+                )
+                g = diff * b_pow[k - 1 :]
+                ids.extend([id_] * (n - k + 1))
+                poss.extend(range(1, n - k + 2))
+                gs.append(g.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "g": np.concatenate(gs)
+                    if gs
+                    else np.empty(0, dtype=np.int64),
+                }
+            )
+
+    return base.mapInPandas(gen, schema=f"id {id_type}, pos int, g long")
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "expr",
+) -> DataFrame:
+    """Corpus-wide exact substring dedup at token k-gram granularity —
+    the Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better") ExactSubstr pass re-expressed Spark-first: any run of k
+    consecutive tokens occurring >= 2 times corpus-wide (across OR within
+    documents) is removed from every occurrence except the globally first
+    (minimum (doc_id, position)); covered token positions merge into
+    maximal runs. This is the granularity between paragraph_dedup (exact
+    repeated paragraphs) and ngram_jaccard/minhash (whole-doc near-dup):
+    it excises repeated boilerplate EMBEDDED in otherwise-unique docs.
+
+    Returns one row per input doc:
+      (id_col, n_tokens, n_dup_tokens, n_dup_runs, text_dedup)
+    with text_dedup the surviving tokens joined by single spaces.
+
+    Scale shape: the occurrence inventory is O(total tokens) rows of
+    (id, pos, 8-byte gram hash) — the only shuffles are the groupBy on the
+    gram hash (linear, map-side combinable) and the join back, both on
+    8-byte keys; document text never fans out. No pair join exists
+    anywhere, so no df cap is needed (a banner shared by 10^6 docs is
+    just 10^6 occurrence rows). The per-doc finish is O(n_tokens ×
+    n_runs) expression work; runs are few on real corpora (a fully-
+    duplicated doc collapses to ONE run).
+
+    method="expr" (default): JVM-side gram hashing, O(k) per gram.
+    method="rolling": Arrow mapInPandas rolling hash, O(1) per gram —
+    use for Lee-et-al-scale k (~50). Both produce identical REMOVAL
+    decisions (gram equality, not hash values, drives the rule);
+    asserted by test_substring_dedup.
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..functions.text import tokens_col  # noqa: PLC0415
+
+    base = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_tk"))
+    # referenced by the occurrence branch AND the final join-back: no CSE
+    # across self-referencing plans, so persist or tokenize twice
+    base = track_persist(base)
+    occ = (
+        _gram_occurrences_rolling(base, k)
+        if method == "rolling"
+        else _gram_occurrences_expr(base, k)
+    )
+    stats = (
+        occ.groupBy("g")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("id", "pos")).alias("keep"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("g", "keep")
+    )
+    flagged = (
+        occ.join(stats, "g")
+        .filter(
+            ~(
+                (F.col("id") == F.col("keep.id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+    starts = flagged.groupBy("id").agg(
+        F.array_sort(F.collect_list("pos")).alias("_ss")
+    )
+    ss = F.coalesce(F.col("_ss"), F.array().cast("array<int>"))
+    # merge flagged starts into maximal covered runs BEFORE the per-token
+    # test: exists-over-starts would be O(n_tokens × n_starts) per doc
+    # (quadratic on a fully-duplicated mega-doc); over merged runs it is
+    # O(n_tokens × n_runs). Sentinels avoid 0/size+1 indexing: a start
+    # opens a new run iff it exceeds the previous start by more than k
+    # (equal-length intervals ⇒ ends are monotone), and closes one iff
+    # the next start exceeds IT by more than k.
+    lo_sentinel = F.array(F.lit(-(k + 2)).cast("int"))
+    hi_sentinel = F.array(F.lit((1 << 31) - 1).cast("int"))
+    with_prev = F.concat(lo_sentinel, ss)
+    with_next = F.concat(ss, hi_sentinel)
+    run_starts = F.filter(
+        ss, lambda s, i: s - F.element_at(with_prev, i + 1) > k
+    )
+    run_lasts = F.filter(
+        ss, lambda s, i: F.element_at(with_next, i + 2) - s > k
+    )
+    runs = F.arrays_zip(
+        run_starts.alias("s"),
+        F.transform(run_lasts, lambda s: s + (k - 1)).alias("e"),
+    )
+    out = base.join(starts, "id", "left").select(
+        "id",
+        F.col("_tk"),
+        runs.alias("_runs"),
+    )
+    covered = lambda p: F.exists(  # noqa: E731  (1-based token position p)
+        F.col("_runs"), lambda r: (r["s"] <= p) & (p <= r["e"])
+    )
+    kept = F.filter(F.col("_tk"), lambda t, i: ~covered(i + 1))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_dup_tokens"),
+        F.size("_runs").cast("long").alias("n_dup_runs"),
+        F.array_join(kept, " ").alias("text_dedup"),
+    )

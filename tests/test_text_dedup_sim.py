@@ -616,3 +616,84 @@ def test_lsh_plane_count_sizing(spark, sf_dir):
     assert r_sized >= r_4x, (r_sized, r_4x)
     # candidate-scan side: 4x planes -> far smaller buckets
     assert mean_bucket(40) < mean_bucket(10)
+
+
+# --------------------------------------------------------------------------
+# substring-level dedup (Lee et al. ExactSubstr semantics)
+# --------------------------------------------------------------------------
+
+
+def _ssd_corpus(spark, n_docs=1000, banner_tokens=60):
+    """n_docs docs, each = 5 unique tokens + the SAME banner + unique tail."""
+    banner = " ".join(f"brand{i} promo{i}" for i in range(banner_tokens // 2))
+    rows = [
+        (
+            d,
+            " ".join(f"u{d}w{j}" for j in range(5))
+            + f" {banner} tail{d} close{d}",
+        )
+        for d in range(n_docs)
+    ]
+    return banner, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dedup_planted_banner(spark):
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.dedup import substring_dedup
+
+    banner, df = _ssd_corpus(spark)
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(df, k=8).collect()
+    }
+    release_persisted()
+    assert len(out) == 1000
+    # the banner survives ONLY in the globally-first doc
+    assert banner in out[0]["text_dedup"]
+    assert out[0]["n_dup_tokens"] == 0
+    for d in (1, 17, 999):
+        r = out[d]
+        assert banner not in r["text_dedup"]
+        # exactly the 60 banner tokens go; unique prefix+tail survive
+        assert r["n_dup_tokens"] == 60
+        assert r["n_dup_runs"] == 1
+        assert r["text_dedup"] == (
+            " ".join(f"u{d}w{j}" for j in range(5)) + f" tail{d} close{d}"
+        )
+
+
+def test_substring_dedup_within_doc_and_short_docs(spark):
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.dedup import substring_dedup
+
+    rep = " ".join(f"r{i}" for i in range(6))
+    rows = [
+        (1, f"{rep} mid1 mid2 mid3 {rep}"),   # within-doc repeat
+        (2, "tiny"),                           # shorter than k
+        (3, "alpha beta gamma delta epsilon"), # unique, no removal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(df, k=4).collect()}
+    release_persisted()
+    # first copy kept, second removed; the 3-token middle is NOT covered
+    r1 = out[1]
+    assert r1["text_dedup"] == f"{rep} mid1 mid2 mid3"
+    assert r1["n_dup_tokens"] == 6
+    assert r1["n_dup_runs"] == 1
+    assert out[2]["n_dup_tokens"] == 0 and out[2]["text_dedup"] == "tiny"
+    assert out[3]["n_dup_tokens"] == 0
+
+
+def test_substring_dedup_rolling_equals_expr(spark):
+    """The Arrow rolling-hash gram path must reach identical REMOVAL
+    decisions as the expression path (hash families differ; the rule
+    depends only on gram equality)."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.dedup import substring_dedup
+
+    _, df = _ssd_corpus(spark, n_docs=120, banner_tokens=20)
+    a = substring_dedup(df, k=6, method="expr").orderBy("doc_id").collect()
+    b = substring_dedup(df, k=6, method="rolling").orderBy("doc_id").collect()
+    release_persisted()
+    assert a == b
+    assert sum(r["n_dup_tokens"] for r in a) == 119 * 20
