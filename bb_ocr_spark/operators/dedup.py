@@ -632,6 +632,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every id appearing in >= 1 pair; cluster_id =
     the MIN id of the connected component. Pair generators (ngram/minhash/
@@ -646,36 +647,60 @@ def dedup_clusters(
     rounds: max_iter=20 covers diameters up to ~2^20, far past any real
     graph. LSH dup clusters are near-cliques (1-2 rounds). Per round: one
     join edges⋈labels + one groupBy min + one labels self-join — all
-    shuffles on (id, label) longs, never payloads. The convergence check
-    is a driver-side count of changed labels (the standard
-    iterative-algorithm loop: one tiny aggregate per round, not a data
-    collect). Deterministic for any parallelism. Raises RuntimeError if
-    max_iter is exhausted before convergence — a silently-partial
-    clustering would merge fewer docs than claimed.
+    shuffles on (id, label) longs, never payloads. Deterministic for any
+    parallelism. Raises RuntimeError if max_iter is exhausted before
+    convergence — a silently-partial clustering would merge fewer docs
+    than claimed.
 
-    Each round's label frame is localCheckpoint()ed: without lineage
-    truncation the self-join DOUBLES the logical plan per round and
-    re-optimization cost grows exponentially (measured: the test file
-    went 131s → timeout from plan growth alone, data unchanged).
-    Superseded rounds' checkpoint blocks are reclaimed by the
-    ContextCleaner once the python reference drops (checkpointing cuts
-    lineage, so nothing downstream pins them); worst-case transient
-    storage is the GC-latency window, not O(rounds). On a real cluster
-    swap localCheckpoint for reliable checkpoint() — local checkpoints
-    die with an executor."""
+    Fixed-overhead discipline (the per-round cost is ~all job latency at
+    small SF, so every saved job/shuffle halves the wall clock):
+      - edges are hash-repartitioned ONCE on the join key "v" and
+        persisted; the cached relation's outputPartitioning satisfies the
+        per-round join's distribution requirement, so only the (much
+        smaller, changing) labels side exchanges each round;
+      - the convergence check rides along with the round: the previous
+        label is CARRIED as a column through relax+jump and the changed
+        count is an observe() metric on the checkpoint materialization
+        itself — ZERO extra jobs per round (fires on both localCheckpoint
+        and reliable checkpoint, verified by test).
+
+    Each round's label frame is checkpointed: without lineage truncation
+    the self-join DOUBLES the logical plan per round and re-optimization
+    cost grows exponentially (measured: the test file went 131s → timeout
+    from plan growth alone, data unchanged). Superseded rounds' blocks
+    are reclaimed by the ContextCleaner once the python reference drops;
+    worst-case transient storage is the GC-latency window, not O(rounds).
+
+    checkpoint_dir: when set, rounds use RELIABLE checkpoint() into that
+    directory (call spark.sparkContext.setCheckpointDir first or let this
+    function set it). localCheckpoint (the default) stores checkpoint
+    blocks on executors and DIES with one — on a real multi-executor
+    cluster always pass a checkpoint_dir on shared storage."""
     from ..cache import track_persist  # noqa: PLC0415
+
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
 
     half = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = track_persist(
         half.unionByName(
             half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
+        .distinct()
+        .repartition("v")
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neigh = (
@@ -692,6 +717,7 @@ def dedup_clusters(
         relaxed = labels.join(neigh, "id", "left").select(
             "id",
             F.least(F.col("label"), F.coalesce("mn", "label")).alias("label"),
+            F.col("label").alias("_old"),
         )
         # persist: the self-join below references relaxed on BOTH sides
         # and Spark cannot CSE across self-joins — without this the
@@ -707,18 +733,23 @@ def dedup_clusters(
             "label",
             "left",
         ).select(
-            "id", F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label")
+            "id",
+            F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label"),
+            "_old",
         )
-        new_labels = jumped.localCheckpoint(eager=True)  # truncate lineage
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        obs = Observation()
+        observed = jumped.observe(
+            obs,
+            F.sum((F.col("label") != F.col("_old")).cast("long")).alias(
+                "changed"
+            ),
+        )
+        new_labels = ckpt(observed)  # truncate lineage; fires the metric
         relaxed.unpersist()
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old")), "id"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = obs.get["changed"] or 0
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:

@@ -241,3 +241,24 @@ def test_mix_sources_with_repeats_upsampling(spark):
     # determinism
     out2 = mix_sources_with_repeats(df.repartition(9), {"src0": 2.5, "src1": 0.5}).collect()
     assert len(out2) == len(out)
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches rounds to reliable checkpoint() (the
+    cluster-correct mode — localCheckpoint blocks die with an executor);
+    clusters must be identical to the local path and checkpoint files
+    must actually land in the directory."""
+    import os
+
+    from bb_ocr_spark.operators.dedup import dedup_clusters
+
+    pairs = [(1, 2), (2, 3), (10, 11)] + [(i, i + 1) for i in range(20, 25)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    local = {r["id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+    ckdir = str(tmp_path / "ck")
+    reliable = {
+        r["id"]: r["cluster_id"]
+        for r in dedup_clusters(df, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local
+    assert any(files for _, _, files in os.walk(ckdir))
