@@ -602,6 +602,18 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _ivf_model_dir() -> str:
+    """Canonical corpus for the IVF centroid MODEL, shared by the Spark
+    query and the SQL-oracle generator. Pinning the model to ONE dir
+    (instead of the gate's sf_dir) makes the gate sf-portable with no
+    env var: both engines always train on the same bytes whatever sf the
+    gate runs at, and the gated semantics (assignment, probe pruning,
+    re-rank over the gate corpus) are fully exercised either way.
+    SPARK_GRAFT_ORACLE_SF_DIR overrides to train the model at another
+    scale; resolved at call time, not import time."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF over k-means-trained centroids; the oracle retrains the identical
     # centroid model (shared numpy core, sorted sample) and replays the full
@@ -609,25 +621,8 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bb_ocr_spark.operators.similarity import ivf_topk, train_centroids
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # centroid training data must be the SAME corpus the oracle's generator
-    # reads (_oracle_ivf bakes centroid literals at oracle_sql() time): both
-    # sides resolve through SPARK_GRAFT_ORACLE_SF_DIR when set; when unset
-    # the query trains on its own sf_dir and the oracle on the driver's
-    # default gate dir — warn loudly if those would diverge
-    train_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
-    if train_dir is None:
-        train_dir = sf_dir
-        if os.path.normpath(sf_dir) != os.path.normpath("/root/testdata/sf0.01"):
-            print(
-                "ivf_topk: training centroids on", sf_dir,
-                "— the oracle_sql() model defaults to /root/testdata/sf0.01; "
-                "set SPARK_GRAFT_ORACLE_SF_DIR to gate at this scale",
-                file=sys.stderr,
-            )
-    train_emb = (
-        emb
-        if os.path.normpath(train_dir) == os.path.normpath(sf_dir)
-        else spark.read.parquet(os.path.join(train_dir, "embeddings.parquet"))
+    train_emb = spark.read.parquet(
+        os.path.join(_ivf_model_dir(), "embeddings.parquet")
     )
     cents = train_centroids(train_emb, n_centroids=16)
     return ivf_topk(
@@ -639,9 +634,8 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_ivf() -> str:
     from bb_ocr_spark.operators.similarity import ivf_oracle_sql
 
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return ivf_oracle_sql(
-        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(_ivf_model_dir(), "embeddings.parquet"),
         n_centroids=16, n_probe=4, k=5, max_query_id=10,
     )
 

@@ -28,11 +28,9 @@ def norm_frame(df) -> list[tuple]:
 
 
 def main(sf_dir: str, only: set[str] | None = None) -> int:
-    # the IVF oracle bakes centroid literals at oracle_sql() time from
-    # SPARK_GRAFT_ORACLE_SF_DIR — pin it to THIS gate's dir so gating at
-    # sf0.001/sf0.1 compares matching centroid models (the driver's own
-    # gate runs at the default sf0.01 and needs no pin)
-    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+    # no env pin needed: the IVF centroid model trains on one canonical
+    # dir in BOTH engines (__spark_entry__._ivf_model_dir), so the gate
+    # is green at any sf out of the box
 
     import __spark_entry__ as E
 
