@@ -179,3 +179,59 @@ def run_incremental_curation(
     ).collect()[0]
     manifest = commit_snapshot(state_dir, run_id, row["n"], row["ck"] or 0)
     return {"manifest": manifest, "n_new": row["n"], "replayed": False}
+
+
+def compact_bucketed_fingerprints(
+    spark: SparkSession, state_dir: str, table: str, buckets: int = 16
+) -> dict:
+    """Rewrite the bucketed fp state's N per-delivery appends into one
+    compact file set, preserving the bucket scheme and the committed
+    (fp, run_id) rows byte-for-byte.
+
+    Every delivery appends new files per bucket, so after thousands of
+    deliveries the anti-join's state side is a small-file swamp even
+    though it stays Exchange-free. Compaction reads only COMMITTED rows
+    (dropping orphans from crashed/uncommitted replays for free),
+    repartitions into the bucket layout, and swaps tables via renames:
+
+        write {table}__compacting  →  {table} → {table}__precompact
+        → {table}__compacting → {table}  →  drop {table}__precompact
+
+    so a reader always sees either the old or the new table; a crash
+    mid-swap is rolled forward/back on the next call. Run it BETWEEN
+    deliveries (the same serial discipline deliveries already require).
+    Returns {"compacted", "files_before", "files_after", "rows"}."""
+    tmp, old = f"{table}__compacting", f"{table}__precompact"
+    # recover a crashed earlier compaction: if the swap died after the
+    # first rename, the live name is missing — roll the original back
+    if spark.catalog.tableExists(old) and not spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+    for leftover in (tmp, old):
+        if spark.catalog.tableExists(leftover):
+            spark.sql(f"DROP TABLE {leftover}")
+    cur = current_snapshot(state_dir)
+    if cur is None or not spark.catalog.tableExists(table):
+        return {"compacted": False}
+    files_before = len(spark.table(table).inputFiles())
+    committed = spark.table(table).filter(F.col("run_id").isin(cur["run_ids"]))
+    # repartition into the bucket layout first so each bucket is written
+    # by one task → one file per bucket (bucketBy assigns rows to buckets
+    # by its own hash regardless, so correctness never depends on this)
+    (
+        committed.repartition(buckets, "fp")
+        .write.mode("errorifexists")
+        .bucketBy(buckets, "fp")
+        .sortBy("fp")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
+    compacted = spark.table(table)
+    return {
+        "compacted": True,
+        "files_before": files_before,
+        "files_after": len(compacted.inputFiles()),
+        "rows": compacted.count(),
+    }

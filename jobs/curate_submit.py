@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--fp-table", default=None)
     ap.add_argument("--eval-input", default=None,
                     help="optional eval/benchmark docs to decontaminate against")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="after the delivery commits, rewrite the bucketed "
+                         "fp state's per-run file swamp into one compact "
+                         "file set (requires --fp-table)")
     ap.add_argument("--shard-budget", type=int, default=None,
                     help="token budget per training shard; when set, this "
                          "run's survivors get (id, weight, prefix, shard_id) "
@@ -59,6 +63,13 @@ def main() -> None:
         args.run_id,
         bucketed_fp_table=args.fp_table,
     )
+    if args.compact_state and args.fp_table:
+        from bb_ocr_spark.plans.curate_incremental import (
+            compact_bucketed_fingerprints,
+        )
+
+        compact_bucketed_fingerprints(spark, args.state, args.fp_table)
+
     if args.shard_budget:
         import os
 

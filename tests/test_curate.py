@@ -209,3 +209,73 @@ def test_incremental_curation_bucketed_state_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_fp_state_compaction(spark, tmp_path):
+    """10 deliveries swamp the bucketed state with per-run files;
+    compaction must shrink the file count while keeping the anti-join
+    results identical and the state scan bucketed + Exchange-free."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.plans.curate_incremental import (
+        committed_bucketed_fingerprints,
+        compact_bucketed_fingerprints,
+        run_incremental_curation,
+    )
+
+    table = "fp_state_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for suffix in ("", "__compacting", "__precompact"):
+        shutil.rmtree(f"{warehouse}/{table}{suffix}", ignore_errors=True)
+    state = str(tmp_path / "state")
+
+    def doc(i, tag):
+        return (i, " ".join(f"w{tag}_{j} the of and to" for j in range(12)))
+
+    for r in range(10):
+        batch = spark.createDataFrame(
+            [doc(r * 10 + i, f"r{r}d{i}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        run_incremental_curation(
+            spark, batch, state, f"run-{r}", bucketed_fp_table=table
+        )
+
+    before = {
+        r["fp"]
+        for r in committed_bucketed_fingerprints(spark, state, table).collect()
+    }
+    assert len(before) == 40
+    res = compact_bucketed_fingerprints(spark, state, table)
+    assert res["compacted"] and res["rows"] == 40
+    assert res["files_after"] < res["files_before"]
+
+    after_df = committed_bucketed_fingerprints(spark, state, table)
+    assert {r["fp"] for r in after_df.collect()} == before
+
+    # an 11th delivery still dedups correctly against the compacted state
+    copy_of_run0 = spark.createDataFrame(
+        [doc(900, "r0d0"), doc(901, "brand_new")], "doc_id long, text string"
+    )
+    r11 = run_incremental_curation(
+        spark, copy_of_run0, state, "run-10", bucketed_fp_table=table
+    )
+    assert r11["n_new"] == 1
+
+    # plan evidence unchanged: bucketed scan, no Exchange above it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        state_df = committed_bucketed_fingerprints(spark, state, table)
+        probe = spark.createDataFrame([("x",)], "fp string").repartition(16, "fp")
+        plan = (
+            probe.join(state_df, "fp", "left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, plan[:800]
+        assert plan.count("Exchange") <= 1, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
