@@ -310,22 +310,71 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5_col,
         lang_guess_col,
         quality_cols,
-        token_count_col,
     )
+
+    from bb_ocr_spark.functions.text import tokens_col
 
     d = _docs(spark, sf_dir)
     t = F.col("text")
-    return d.select(
+    # tokens materialized ONCE: the 20-language marker argmax plus the
+    # quality ratios would otherwise re-inline the tokenizer into every
+    # HOF branch (no CSE across HOF lambdas)
+    base = d.select("doc_id", t, tokens_col(t).alias("_toks"))
+    tk = F.col("_toks")
+    return base.select(
         "doc_id",
-        token_count_col(t).cast("bigint").alias("n_tokens_ws"),
+        F.size(tk).cast("bigint").alias("n_tokens_ws"),
         bpe_ish_token_count_col(t).cast("bigint").alias("n_tokens_bpe"),
-        lang_guess_col(t).alias("lang_guess"),
+        lang_guess_col(t, toks=tk).alias("lang_guess"),
         fingerprint_md5_col(t).alias("fingerprint"),
-        *[c for c in quality_cols(t)],
+        *[c for c in quality_cols(t, toks=tk)],
     ).drop("n_tokens").withColumn("n_chars", F.col("n_chars").cast("bigint"))
 
 
-_ORACLE_TEXT_STATS = r"""
+def _oracle_text_stats() -> str:
+    """Generated from the SAME language/script tables the Spark query
+    uses (functions/text.py LANG_MARKERS / SCRIPT_RANGES), so widening
+    either table can never desynchronize the oracle: 20-language marker
+    argmax (declaration-order tie-break) with a dominant-script
+    char-class fallback."""
+    from bb_ocr_spark.functions.text import (
+        LANG_MARKERS,
+        SCRIPT_RANGES,
+        STOPWORDS_EN,
+    )
+
+    langs = list(LANG_MARKERS)
+    hit_cols = ",\n    ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS h_{}".format(
+            ", ".join("'" + w + "'" for w in ws), lang
+        )
+        for lang, ws in LANG_MARKERS.items()
+    )
+    script_cols = ",\n    ".join(
+        f"length(regexp_replace(text, '[^{rng}]', '', 'g')) AS s_{i}"
+        for i, rng in enumerate(SCRIPT_RANGES.values())
+    )
+    gh = "greatest({})".format(", ".join(f"h_{lg}" for lg in langs))
+    gs = "greatest({})".format(
+        ", ".join(f"s_{i}" for i in range(len(SCRIPT_RANGES)))
+    )
+    script_case = (
+        f"CASE WHEN {gs} = 0 THEN NULL "
+        + " ".join(
+            f"WHEN s_{i} = {gs} THEN '{name}'"
+            for i, name in list(enumerate(SCRIPT_RANGES))[:-1]
+        )
+        + f" ELSE '{list(SCRIPT_RANGES)[-1]}' END"
+    )
+    lang_case = (
+        f"CASE WHEN {gh} = 0 THEN ({script_case}) "
+        + " ".join(
+            f"WHEN h_{lg} = {gh} THEN '{lg}'" for lg in langs[:-1]
+        )
+        + f" ELSE '{langs[-1]}' END"
+    )
+    stop_in = ", ".join("'" + w + "'" for w in STOPWORDS_EN)
+    return rf"""
 WITH base AS (
   SELECT doc_id, text,
          list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS toks,
@@ -335,12 +384,9 @@ WITH base AS (
   FROM documents
 ), hits AS (
   SELECT *,
-    len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that'))) AS h_en,
-    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS h_de,
-    len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans','pour'))) AS h_fr,
-    len(list_filter(toks, x -> x IN ('el','los','las','es','una','para','por','como'))) AS h_es,
-    len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that',
-                                     'it','for','on','with','as','at'))) AS h_stop,
+    {hit_cols},
+    {script_cols},
+    len(list_filter(toks, x -> x IN ({stop_in}))) AS h_stop,
     len(toks) AS n_tok
   FROM base
 )
@@ -348,11 +394,7 @@ SELECT doc_id,
   n_tok AS n_tokens_ws,
   len(regexp_extract_all(text,
       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_tokens_bpe,
-  CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN NULL
-       WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
-       WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
-       WHEN h_fr = greatest(h_en,h_de,h_fr,h_es) THEN 'fr'
-       ELSE 'es' END AS lang_guess,
+  {lang_case} AS lang_guess,
   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
   length(text) AS n_chars,
   round(CASE WHEN n_tok > 0 THEN nonws / CAST(n_tok AS DOUBLE) ELSE 0.0 END, 4) AS mean_tok_len,
@@ -1729,7 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "running_window": _ORACLE_RUNNING_WINDOW,
         "union_dedup": _ORACLE_UNION_DEDUP,
         "json_extract": _ORACLE_JSON_EXTRACT,
-        "text_stats": _ORACLE_TEXT_STATS,
+        "text_stats": _oracle_text_stats(),
         "exact_dedup": _ORACLE_EXACT_DEDUP,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "minhash_lsh": _ORACLE_MINHASH_LSH,

@@ -17,15 +17,51 @@ from pyspark.sql import functions as F
 
 # marker stopwords per language (deterministic heuristic lang-ID; the kind
 # of n-gram/stopword profile langid tools use, reduced to exact-match form
-# so a SQL oracle can replicate it)
+# so a SQL oracle can replicate it). 20 languages; shared function words
+# (sv/da "og"/"det", es/pt "para") tie-break to the EARLIER entry —
+# deterministic in both engines (argmax checks languages in declaration
+# order). Space-separated scripts only; CJK/Thai (no word boundaries) are
+# handled by the char-class fallback below.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
     "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour"],
     "es": ["el", "los", "las", "es", "una", "para", "por", "como"],
+    "pt": ["não", "uma", "dos", "das", "em", "com", "mais", "já"],
+    "it": ["il", "di", "che", "per", "con", "del", "della", "gli"],
+    "nl": ["het", "een", "van", "niet", "zijn", "voor", "aan", "ook"],
+    "sv": ["och", "att", "det", "som", "på", "är", "av", "för"],
+    "da": ["og", "ikke", "jeg", "hvad", "hvor", "når", "være", "kan"],
+    "no": ["og", "ikke", "det", "som", "på", "er", "av", "til"],
+    "fi": ["ja", "on", "ei", "että", "mutta", "myös", "kun", "niin"],
+    "pl": ["nie", "się", "jest", "jak", "ale", "czy", "dla", "tak"],
+    "cs": ["je", "se", "na", "že", "ale", "jako", "pro", "tak"],
+    "ro": ["și", "este", "nu", "cu", "din", "care", "mai", "sau"],
+    "hu": ["és", "nem", "hogy", "egy", "van", "mint", "csak", "már"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "ama", "gibi", "daha"],
+    "id": ["yang", "dan", "di", "untuk", "dengan", "tidak", "ini", "itu"],
+    "vi": ["và", "của", "có", "không", "là", "này", "cho", "được"],
+    "ru": ["и", "не", "на", "что", "это", "как", "его", "она"],
+    "ar": ["في", "من", "على", "هذا", "أن", "إلى", "عن", "مع"],
 }
 
 STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "at"]
+
+# char-class fallback for scripts where stopword matching cannot work
+# (CJK/Thai have no word boundaries) or the marker table has no entry:
+# dominant script by code-point count. Ranges are literal BMP characters
+# so the same class works verbatim as a Java and RE2 character class.
+SCRIPT_RANGES: dict[str, str] = {
+    "cjk-han": "一-鿿",
+    "cjk-kana": "぀-ヿ",
+    "cjk-hangul": "가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+    "hebrew": "֐-׿",
+    "thai": "฀-๿",
+}
 
 
 def tokens_col(text: Column) -> Column:
@@ -48,9 +84,15 @@ def bpe_ish_token_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(pat))
 
 
-def lang_scores_col(text: Column) -> Column:
-    """array<struct<hits,neg_idx,lang>> of marker hits per language."""
-    toks = tokens_col(text)
+def lang_scores_col(text: Column, toks: Column | None = None) -> Column:
+    """array<struct<hits,neg_idx,lang>> of marker hits per language.
+
+    Pass a pre-materialized token-array column as `toks` when calling
+    from a wide projection: the tokenizer expression is otherwise
+    re-inlined into every one of the 20 language branches (Catalyst does
+    not CSE across HOF lambdas — the round-1 minhash trap, 25x there)."""
+    if toks is None:
+        toks = tokens_col(text)
 
     def hits(markers: list[str]) -> Column:
         return F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -67,18 +109,50 @@ def lang_scores_col(text: Column) -> Column:
     )
 
 
-def lang_guess_col(text: Column) -> Column:
-    """argmax language by marker hits; earliest language wins ties;
-    NULL when nothing matches."""
-    best = F.array_max(lang_scores_col(text))
+def script_scores_col(text: Column) -> Column:
+    """array<struct<hits,neg_idx,lang>> of code-point counts per script
+    range (counting by REMOVING out-of-class chars: length is chars, not
+    bytes, in both Spark and DuckDB)."""
+    return F.array(
+        *[
+            F.struct(
+                F.length(F.regexp_replace(text, f"[^{rng}]", "")).alias(
+                    "hits"
+                ),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(name).alias("lang"),
+            )
+            for i, (name, rng) in enumerate(SCRIPT_RANGES.items())
+        ]
+    )
+
+
+def script_guess_col(text: Column) -> Column:
+    """dominant script by char count; earliest range wins ties; NULL when
+    no char of any tracked script appears."""
+    best = F.array_max(script_scores_col(text))
     return F.when(best["hits"] > 0, best["lang"])
 
 
-def quality_cols(text: Column) -> list[Column]:
+def lang_guess_col(text: Column, toks: Column | None = None) -> Column:
+    """argmax language by marker hits (earliest wins ties); falls back to
+    the dominant-script class when no marker matches (CJK/Thai have no
+    word boundaries so stopword matching CANNOT fire for them); NULL when
+    neither signal fires."""
+    best = F.array_max(lang_scores_col(text, toks))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(
+        script_guess_col(text)
+    )
+
+
+def quality_cols(text: Column, toks: Column | None = None) -> list[Column]:
     """Quality signals (Gopher/C4-style filters, exact-arithmetic form):
     n_chars, n_tokens, mean token length, alnum ratio, punct ratio,
-    stopword ratio, and a composite keep/drop flag."""
-    toks = tokens_col(text)
+    stopword ratio, and a composite keep/drop flag. Pass a
+    pre-materialized token array as `toks` from wide projections (no CSE
+    across HOF lambdas)."""
+    if toks is None:
+        toks = tokens_col(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
     nonws = F.length(F.regexp_replace(text, r"\s", ""))

@@ -697,3 +697,44 @@ def test_substring_dedup_rolling_equals_expr(spark):
     release_persisted()
     assert a == b
     assert sum(r["n_dup_tokens"] for r in a) == 119 * 20
+
+
+def test_lang_id_top20_and_script_fallback(spark):
+    """Marker stopwords for the widened 20-language table; CJK/Thai and
+    other non-segmented scripts resolve via the dominant-script char
+    fallback (stopword matching cannot fire without word boundaries)."""
+    from bb_ocr_spark.functions.text import lang_guess_col
+
+    rows = [
+        ("pt", "não sei uma coisa dos outros em casa já"),
+        ("it", "il libro di storia che leggo per la scuola con gli amici"),
+        ("nl", "het boek is een verhaal van mensen die niet weten"),
+        ("pl", "nie wiem czy to jest tak jak dla ciebie"),
+        ("tr", "bu kitap bir hikaye ve daha fazla şey için"),
+        ("vi", "đây là một cuốn sách của tôi không có gì"),
+        ("id", "buku ini yang saya baca dan tulis untuk kamu"),
+        ("ru", "это не книга что я читаю как она хочет"),
+        ("ar", "هذا كتاب من المكتبة في المدينة على الطاولة"),
+        # script fallback: no word boundaries → no stopword can match
+        ("cjk-han", "这是一本关于历史的书籍内容很有趣"),
+        ("cjk-kana", "これはとてもおもしろいほんです"),
+        ("cjk-hangul", "이것은 아주 재미있는 역사 책입니다"),
+        ("devanagari", "यह इतिहास की एक बहुत रोचक पुस्तक है"),
+        ("greek", "αυτό είναι ένα πολύ ενδιαφέρον βιβλίο ιστορίας"),
+        ("hebrew", "זהו ספר היסטוריה מעניין מאוד שקראתי"),
+        ("thai", "นี่คือหนังสือประวัติศาสตร์ที่น่าสนใจมาก"),
+        # nothing matches at all
+        (None, "qwx zzyq 12345 !!!"),
+    ]
+    df = spark.createDataFrame(
+        [(i, want, txt) for i, (want, txt) in enumerate(rows)],
+        "i long, want string, text string",
+    )
+    got = df.select("i", "want", lang_guess_col(F.col("text")).alias("g")).collect()
+    for r in got:
+        assert r["g"] == r["want"], (r["i"], r["want"], r["g"])
+
+    # tie-break is declaration order, deterministically: 'og ikke' hits
+    # da and no equally → earlier entry (da) wins
+    tie = spark.createDataFrame([(1, "og ikke og ikke")], "i long, text string")
+    assert tie.select(lang_guess_col(F.col("text")).alias("g")).first()["g"] == "da"
