@@ -1321,6 +1321,62 @@ FROM p
 """
 
 
+def _q_shard_packing_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy doc-atomic packing with capacity (docs never split across
+    # shards; oversized docs alone); exact greedy within chunk×budget
+    # super-buckets derived from the distributed global prefix. Oracle =
+    # the same greedy as a linear recursive CTE per bucket + offset window
+    from bb_ocr_spark.functions.text import token_count_col
+    from bb_ocr_spark.operators.packing import assign_shards_atomic
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count_col(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return assign_shards_atomic(
+        d, budget=500, key_col="doc_id", chunk=8, num_buckets=64
+    )
+
+
+_ORACLE_SHARD_PACKING_ATOMIC = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS weight
+  FROM documents
+), p AS (
+  SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+         CAST(coalesce(sum(weight) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prefix
+  FROM w
+), d AS (
+  SELECT doc_id, weight,
+         CAST(floor(prefix / 4000) AS BIGINT) AS gb,
+         row_number() OVER (PARTITION BY floor(prefix / 4000)
+                            ORDER BY doc_id) AS rn
+  FROM p
+), g AS (
+  SELECT gb, rn, doc_id, weight, weight AS fill, CAST(0 AS BIGINT) AS ls
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.gb, d.rn, d.doc_id, d.weight,
+         CASE WHEN g.fill + d.weight <= 500
+              THEN g.fill + d.weight ELSE d.weight END,
+         CASE WHEN g.fill + d.weight <= 500 THEN g.ls ELSE g.ls + 1 END
+  FROM g JOIN d ON d.gb = g.gb AND d.rn = g.rn + 1
+), counts AS (
+  SELECT gb, max(ls) + 1 AS ns FROM g GROUP BY gb
+), offs AS (
+  SELECT gb, CAST(coalesce(sum(ns) OVER (ORDER BY gb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM counts
+)
+SELECT g.doc_id, g.weight, CAST(o.off + g.ls AS BIGINT) AS shard_id
+FROM g JOIN offs o ON g.gb = o.gb
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII masking chain (email → ipv4 → phone → long digit run), counts
     # measured on the progressively-masked text; payloads synthesized from
@@ -1748,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": _q_lsh_ann,
         "dup_pairs": _q_dup_pairs,
         "shard_packing": _q_shard_packing,
+        "shard_packing_atomic": _q_shard_packing_atomic,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
@@ -1795,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _oracle_lsh_ann(),
         "dup_pairs": _oracle_dup_pairs(),
         "shard_packing": _ORACLE_SHARD_PACKING,
+        "shard_packing_atomic": _ORACLE_SHARD_PACKING_ATOMIC,
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,

@@ -122,3 +122,90 @@ def assign_shards(
             F.floor(F.col("_prefix") / budget).cast("bigint").alias("shard_id"),
         )
     )
+
+
+def assign_shards_atomic(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "doc_id",
+    weight_col: Column | None = None,
+    chunk: int = 256,
+    num_buckets: int | None = None,
+    levels: int = 1,
+    fanout: int = 1024,
+) -> DataFrame:
+    """Greedy DOC-ATOMIC packing with capacity: walking docs in global key
+    order, a doc joins the current shard iff its weight still fits within
+    `budget`; otherwise the shard closes and the doc opens the next one.
+    A doc heavier than the whole budget sits alone in its own (overflowing)
+    shard. Unlike assign_shards — whose shards are exact `budget`-token
+    slices of the global token stream, splitting docs at boundaries — no
+    doc is ever split here: shards are ≤ budget (except single-oversized-
+    doc shards) and ids are consecutive from 0. Returns
+    (key_col, weight, shard_id).
+
+    Scale shape: the greedy recurrence is sequential, so it cannot be one
+    global prefix formula — instead it runs EXACTLY within deterministic
+    super-buckets of `chunk`×budget tokens derived from assign_shards'
+    distributed global prefix (bucket boundaries come from the DATA, not
+    from partitioning, so the result is identical at any parallelism),
+    then shards are numbered globally by an exclusive prefix over the
+    per-bucket shard counts (the same _bucket_offsets machinery). Each
+    bucket boundary forces a shard break, so at most one under-filled
+    shard per `chunk` shards — amortized fill loss ≤ 1/chunk.
+
+    The per-bucket kernel is Arrow-batched applyInPandas: cumsum +
+    searchsorted jumps, O(shards) python per bucket (bounded by ~chunk),
+    never O(docs). Keys sort identically in Spark and pandas for numeric
+    and ASCII-string keys (non-BMP string keys differ: UTF-16 code-unit
+    vs code-point order — same caveat as any cross-engine string sort)."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..cache import track_persist  # noqa: PLC0415
+
+    pre = assign_shards(
+        df, budget, key_col, weight_col, num_buckets, levels, fanout
+    )
+    bucket_budget = chunk * budget
+    key_dtype = dict(df.select(F.col(key_col)).dtypes)[key_col]
+    keyed = pre.select(
+        key_col,
+        F.col("weight").cast("long").alias("weight"),
+        F.floor(F.col("prefix") / bucket_budget).cast("long").alias("_gb"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(key_col).reset_index(drop=True)
+        w = pdf["weight"].to_numpy(dtype="int64")
+        c = np.cumsum(w)
+        n = len(w)
+        starts = [0]
+        s = 0
+        while True:
+            base = int(c[s - 1]) if s > 0 else 0
+            j = int(np.searchsorted(c, base + budget, side="right"))
+            j = max(j, s + 1)  # oversized doc: alone in its own shard
+            if j >= n:
+                break
+            starts.append(j)
+            s = j
+        ls = np.searchsorted(np.asarray(starts), np.arange(n), side="right") - 1
+        return pdf.assign(_ls=ls.astype("int64"))
+
+    packed = track_persist(
+        keyed.groupBy("_gb").applyInPandas(
+            pack, schema=f"{key_col} {key_dtype}, weight long, _gb long, _ls long"
+        )
+    )
+    counts = packed.groupBy("_gb").agg((F.max("_ls") + 1).alias("_bt"))
+    offsets = _bucket_offsets(
+        counts.withColumnRenamed("_gb", "_b"), levels, fanout
+    ).withColumnRenamed("_b", "_gb")
+    return (
+        packed.join(F.broadcast(offsets), "_gb")
+        .select(
+            key_col,
+            "weight",
+            (F.col("_off") + F.col("_ls")).cast("bigint").alias("shard_id"),
+        )
+    )

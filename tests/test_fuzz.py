@@ -276,3 +276,58 @@ def test_fuzz_assign_shards_prefix_property(spark):
         for k, w in sorted(rows):
             assert got[k] == (prefix, prefix // 1000), (k, num_buckets, levels)
             prefix += w
+
+
+def test_fuzz_assign_shards_atomic_greedy_reference(spark):
+    """Doc-atomic packing vs a plain-python greedy reference: exact
+    within each chunk×budget super-bucket (bucket boundaries from the
+    global prefix), consecutive global shard ids, identical at two
+    parallelism levels and bucket configurations. Includes oversized
+    docs (> budget) which must sit alone in their own shard."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.packing import assign_shards_atomic
+
+    rng = random.Random("atomic-fuzz")
+    rows = [(f"k{rng.randrange(10**9):09d}_{i}",
+             rng.choice([rng.randrange(1, 400), rng.randrange(1200, 2500)]))
+            for i in range(333)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    budget, chunk = 1000, 4
+
+    # python reference: same bucket rule, exact greedy per bucket
+    prefix, buckets = 0, {}
+    for k, w in sorted(rows):
+        buckets.setdefault(prefix // (chunk * budget), []).append((k, w))
+        prefix += w
+    want, next_shard = {}, 0
+    for gb in sorted(buckets):
+        fill = None
+        for k, w in buckets[gb]:
+            if fill is None or fill + w > budget:
+                if fill is not None:
+                    next_shard += 1
+                fill = w
+            else:
+                fill += w
+            want[k] = next_shard
+        next_shard += 1
+
+    for num_buckets, levels, repart in ((7, 1, 3), (32, 2, 17)):
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in assign_shards_atomic(
+                df.repartition(repart), budget=budget, chunk=chunk,
+                num_buckets=num_buckets, levels=levels, fanout=4,
+            ).collect()
+        }
+        release_persisted()
+        assert got == want, (num_buckets, levels)
+
+    # capacity invariant: every multi-doc shard totals <= budget
+    tot = {}
+    for k, w in rows:
+        tot.setdefault(want[k], []).append(w)
+    for shard, ws in tot.items():
+        assert sum(ws) <= budget or len(ws) == 1, (shard, ws)
+    # ids are consecutive from 0
+    assert sorted(set(want.values())) == list(range(next_shard))
