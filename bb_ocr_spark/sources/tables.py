@@ -32,8 +32,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def have_iceberg(spark: SparkSession) -> bool:
+    """True iff the iceberg runtime jar is actually on the classpath.
+    Must go through Class.forName: py4j resolves a missing class path to
+    a JavaPackage object WITHOUT raising, so attribute access alone
+    reports present for any class name (caught by test_env_gates)."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False
