@@ -10,6 +10,10 @@
                            to their min-id representative (pairs →
                            transitive closure → keep cluster winners)
               ──paradedup▶ cross-corpus paragraph dedup (rebuilt texts)
+              ──substr───▶ optional substring-level pass (repeated
+                           ≥k-token runs removed everywhere but their
+                           globally-first occurrence — boilerplate
+                           EMBEDDED in otherwise-unique docs)
               ──split────▶ deterministic train/val/test (md5 buckets)
               ──pack─────▶ token-budget shards (distributed prefix sum)
 
@@ -45,6 +49,7 @@ def run_curation(
     eval_df: DataFrame | None = None,
     max_dup_line_frac: float = 0.5,
     near_dup_threshold: float | None = None,
+    substring_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """documents(id, text, …) → curated corpus + per-stage tables.
 
@@ -104,8 +109,23 @@ def run_curation(
 
     # cross-corpus paragraph dedup over the surviving docs
     para = paragraph_dedup(uniq, id_col="id", text_col="text")
+    rebuilt = para.filter(F.col("n_kept") > 0).select("id", "text_dedup")
 
-    curated = para.filter(F.col("n_kept") > 0).select(
+    # optional substring-level pass (Lee et al. granularity): paragraph
+    # dedup only removes WHOLE repeated paragraphs; this excises repeated
+    # >=k-token runs embedded inside otherwise-unique paragraphs
+    sub = None
+    if substring_k is not None:
+        from ..operators.dedup import substring_dedup  # noqa: PLC0415
+
+        sub = substring_dedup(
+            rebuilt, k=substring_k, id_col="id", text_col="text_dedup"
+        )
+        rebuilt = sub.filter(F.col("n_tokens") > F.col("n_dup_tokens")).select(
+            "id", "text_dedup"
+        )
+
+    curated = rebuilt.select(
         "id",
         "text_dedup",
         token_count_col(F.col("text_dedup")).cast("bigint").alias("n_tokens"),
@@ -151,12 +171,22 @@ def run_curation(
         .crossJoin(para.groupBy().agg(
             F.sum("n_kept").alias("n_paragraphs_kept"),
             F.sum("n_dropped").alias("n_paragraphs_dropped")))
+        .crossJoin(
+            sub.groupBy().agg(
+                F.sum("n_dup_tokens").alias("n_substring_tokens_dropped")
+            )
+            if sub is not None
+            else documents.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("n_substring_tokens_dropped")
+            )
+        )
     )
     return {
         "quality": q,
         "kept": kept,
         "dedup_winners": winners,
         "deduped": para,
+        "substring": sub,  # None unless substring_k was set
         "curated": curated,
         "shards": shards,
         "stats": stats,

@@ -279,3 +279,35 @@ def test_bucketed_fp_state_compaction(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_curation_substring_stage(spark):
+    """substring_k wires the ExactSubstr pass into the pipeline: a
+    banner embedded mid-paragraph in otherwise-unique docs (paragraph
+    dedup can NOT remove it — the paragraphs differ) survives only in
+    the first doc, and the attrition shows up in stats."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.plans.curate import run_curation
+
+    banner = " ".join(f"promo{i} deal{i}" for i in range(8))  # 16 tokens
+    rows = [
+        (d, f"unique{d} start{d} {banner} tail{d} close{d} extra{d}")
+        for d in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_curation(df, shard_budget_tokens=200, substring_k=6)
+    curated = {r["id"]: r for r in out["curated"].collect()}
+    stats = out["stats"].first()
+    release_persisted()
+    assert len(curated) == 12
+    keep_docs = [d for d in curated if banner in curated[d]["text_dedup"]]
+    assert keep_docs == [0]
+    assert stats["n_substring_tokens_dropped"] == 11 * 16
+    # without the stage the banner survives everywhere
+    out2 = run_curation(df, shard_budget_tokens=200)
+    n_with_banner = sum(
+        banner in r["text_dedup"] for r in out2["curated"].collect()
+    )
+    release_persisted()
+    assert n_with_banner == 12
+    assert out2["substring"] is None
