@@ -1377,6 +1377,79 @@ FROM g JOIN offs o ON g.gb = o.gb
 """
 
 
+def _q_materialize_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc-atomic assignment → actual training-shard rows: concatenated
+    # text in key order + comma-joined doc ids and exclusive token
+    # offsets, so examples slice back out losslessly
+    from bb_ocr_spark.functions.text import token_count_col
+    from bb_ocr_spark.operators.packing import (
+        assign_shards_atomic,
+        materialize_shards,
+    )
+
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id", token_count_col(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    asg = assign_shards_atomic(
+        w, budget=500, key_col="doc_id", chunk=8, num_buckets=64
+    )
+    return materialize_shards(asg, d.select("doc_id", "text"))
+
+
+_ORACLE_MATERIALIZE_SHARDS = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS weight
+  FROM documents
+), p AS (
+  SELECT doc_id, text, CAST(weight AS BIGINT) AS weight,
+         CAST(coalesce(sum(weight) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS prefix
+  FROM w
+), d AS (
+  SELECT doc_id, text, weight,
+         CAST(floor(prefix / 4000) AS BIGINT) AS gb,
+         row_number() OVER (PARTITION BY floor(prefix / 4000)
+                            ORDER BY doc_id) AS rn
+  FROM p
+), g AS (
+  SELECT gb, rn, doc_id, weight, weight AS fill, CAST(0 AS BIGINT) AS ls
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.gb, d.rn, d.doc_id, d.weight,
+         CASE WHEN g.fill + d.weight <= 500
+              THEN g.fill + d.weight ELSE d.weight END,
+         CASE WHEN g.fill + d.weight <= 500 THEN g.ls ELSE g.ls + 1 END
+  FROM g JOIN d ON d.gb = g.gb AND d.rn = g.rn + 1
+), counts AS (
+  SELECT gb, max(ls) + 1 AS ns FROM g GROUP BY gb
+), offs AS (
+  SELECT gb, CAST(coalesce(sum(ns) OVER (ORDER BY gb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM counts
+), a AS (
+  SELECT g.doc_id, g.weight, d.text, CAST(o.off + g.ls AS BIGINT) AS shard_id
+  FROM g JOIN offs o ON g.gb = o.gb JOIN d ON d.doc_id = g.doc_id
+), o2 AS (
+  SELECT *, CAST(coalesce(sum(weight) OVER (PARTITION BY shard_id
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS doc_off
+  FROM a
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(weight) AS BIGINT) AS n_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+       string_agg(CAST(doc_off AS VARCHAR), ',' ORDER BY doc_id) AS doc_offsets,
+       string_agg(text, chr(10) ORDER BY doc_id) AS text
+FROM o2 GROUP BY shard_id
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII masking chain (email → ipv4 → phone → long digit run), counts
     # measured on the progressively-masked text; payloads synthesized from
@@ -1805,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs": _q_dup_pairs,
         "shard_packing": _q_shard_packing,
         "shard_packing_atomic": _q_shard_packing_atomic,
+        "materialize_shards": _q_materialize_shards,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
@@ -1853,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_pairs": _oracle_dup_pairs(),
         "shard_packing": _ORACLE_SHARD_PACKING,
         "shard_packing_atomic": _ORACLE_SHARD_PACKING_ATOMIC,
+        "materialize_shards": _ORACLE_MATERIALIZE_SHARDS,
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,

@@ -209,3 +209,72 @@ def assign_shards_atomic(
             (F.col("_off") + F.col("_ls")).cast("bigint").alias("shard_id"),
         )
     )
+
+
+def materialize_shards(
+    assignment: DataFrame,
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(key, shard_id) assignment + (key, text) docs → one row per shard,
+    ready to write as a training file:
+
+      shard_id, n_docs, n_tokens, doc_ids (key order, comma-joined),
+      doc_offsets (exclusive token prefix per doc within the shard,
+      comma-joined), text (docs joined by `sep` in key order)
+
+    The consumer slices examples back out with doc_offsets, so packing +
+    materialization round-trips losslessly. Built for the doc-atomic
+    assignment (assign_shards_atomic) where every doc is whole; it works
+    on assign_shards output too but boundary docs will have been assigned
+    to their STARTING shard, making those shards overshoot the budget.
+
+    Scale shape: one join on the key, one parallel window per shard for
+    the offsets (shards are budget-bounded, so groups are small by
+    construction), one collect_list-class aggregation whose output row is
+    ~budget tokens — the intended unit of a training file. Offsets are
+    computed BEFORE grouping (window, linear) rather than by folding
+    inside the collected array (quadratic array rebuild)."""
+    from ..functions.text import token_count_col  # noqa: PLC0415
+
+    joined = assignment.select(key_col, "shard_id").join(
+        docs.select(
+            key_col,
+            F.col(text_col).alias("_txt"),
+            token_count_col(F.col(text_col)).cast("long").alias("_nt"),
+        ),
+        key_col,
+    )
+    wd = (
+        Window.partitionBy("shard_id")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = joined.withColumn(
+        "_off", F.coalesce(F.sum("_nt").over(wd), F.lit(0))
+    )
+    collected = with_off.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct(key_col, "_off", "_txt"))
+        ).alias("_rows"),
+    )
+    return collected.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.array_join(
+            F.transform(F.col("_rows"), lambda r: r[key_col].cast("string")),
+            ",",
+        ).alias("doc_ids"),
+        F.array_join(
+            F.transform(F.col("_rows"), lambda r: r["_off"].cast("string")),
+            ",",
+        ).alias("doc_offsets"),
+        F.array_join(
+            F.transform(F.col("_rows"), lambda r: r["_txt"]), sep
+        ).alias("text"),
+    )

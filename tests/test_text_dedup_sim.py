@@ -738,3 +738,43 @@ def test_lang_id_top20_and_script_fallback(spark):
     # da and no equally → earlier entry (da) wins
     tie = spark.createDataFrame([(1, "og ikke og ikke")], "i long, text string")
     assert tie.select(lang_guess_col(F.col("text")).alias("g")).first()["g"] == "da"
+
+
+def test_materialize_shards_roundtrip(spark):
+    """Shard rows slice back into the exact original docs via
+    doc_offsets (lossless), and every multi-doc shard respects the
+    budget under the atomic assignment."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.packing import (
+        assign_shards_atomic,
+        materialize_shards,
+    )
+
+    rng = __import__("random").Random("mat-shards")
+    docs = [
+        (i, " ".join(f"d{i}w{j}" for j in range(rng.randrange(3, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = df.selectExpr(
+        "doc_id", "size(split(text, ' ')) AS n_tokens"
+    )
+    asg = assign_shards_atomic(w, budget=100, key_col="doc_id", chunk=4)
+    shards = materialize_shards(asg, df).collect()
+    release_persisted()
+
+    want = dict(docs)
+    got = {}
+    for s in shards:
+        ids = [int(x) for x in s["doc_ids"].split(",")]
+        offs = [int(x) for x in s["doc_offsets"].split(",")]
+        toks = s["text"].split("\n")
+        assert s["n_docs"] == len(ids) == len(offs) == len(toks)
+        assert s["n_tokens"] <= 100 or s["n_docs"] == 1
+        # offsets are the exclusive token prefix per doc
+        run = 0
+        for d, off, t in zip(ids, offs, toks):
+            assert off == run
+            run += len(t.split(" "))
+            got[d] = t
+    assert got == want
