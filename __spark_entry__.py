@@ -1450,6 +1450,99 @@ FROM o2 GROUP BY shard_id
 """
 
 
+_BM25_QUERIES = [
+    (1, "table scan fast"),
+    (2, "customer order stream"),
+    (3, "hash join merge"),
+    (4, "slow window"),
+]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inverted-index BM25 top-k per query: postings shuffle on the token
+    # key only, the query term table broadcasts; per-term scores rounded
+    # to 9dp and totals to 6dp so the SQL oracle's summation order
+    # cannot flip ranks
+    from bb_ocr_spark.operators.search import bm25_topk
+
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return bm25_topk(_docs(spark, sf_dir), q, k=10).withColumn(
+        "query_id", F.col("query_id").cast("bigint")
+    )
+
+
+def _oracle_bm25_search() -> str:
+    from bb_ocr_spark.operators.search import BM25_B, BM25_K1
+
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return rf"""
+WITH q AS (
+  SELECT * FROM (VALUES {vals}) v(query_id, query)
+), qt AS (
+  SELECT DISTINCT query_id AS qid, unnest(
+    list_filter(regexp_split_to_array(lower(trim(query)), '\s+'),
+                x -> x <> '')) AS token
+  FROM q
+), tk AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), post AS (
+  SELECT id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(t) AS token FROM tk) GROUP BY id, token
+), dl AS (
+  SELECT id, CAST(len(t) AS BIGINT) AS dl FROM tk
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_corpus, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY token
+), scored AS (
+  SELECT qt.qid, post.id,
+         round(ln(1.0 + (st.n_corpus - dft.df + 0.5) / (dft.df + 0.5))
+               * (post.tf * ({BM25_K1} + 1))
+               / (post.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dl / st.avgdl)), 9) AS term_score
+  FROM post JOIN qt USING (token)
+            JOIN dft USING (token)
+            JOIN dl ON dl.id = post.id
+            CROSS JOIN st
+), totals AS (
+  SELECT qid, id, round(sum(term_score), 6) AS score FROM scored
+  GROUP BY qid, id
+), ranked AS (
+  SELECT qid, id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+  FROM totals
+)
+SELECT CAST(qid AS BIGINT) AS query_id, id AS doc_id, score,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
+def _q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary truncated to the 50 most frequent tokens
+    # (count desc, token asc — deterministic ties)
+    from bb_ocr_spark.operators.search import token_vocab
+
+    return token_vocab(_docs(spark, sf_dir), top_v=50)
+
+
+_ORACLE_TOKEN_VOCAB = r"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+FROM tk GROUP BY token
+ORDER BY n_total DESC, token ASC LIMIT 50
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII masking chain (email → ipv4 → phone → long digit run), counts
     # measured on the progressively-masked text; payloads synthesized from
@@ -1879,6 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_packing": _q_shard_packing,
         "shard_packing_atomic": _q_shard_packing_atomic,
         "materialize_shards": _q_materialize_shards,
+        "bm25_search": _q_bm25_search,
+        "token_vocab": _q_token_vocab,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
@@ -1928,6 +2023,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_packing": _ORACLE_SHARD_PACKING,
         "shard_packing_atomic": _ORACLE_SHARD_PACKING_ATOMIC,
         "materialize_shards": _ORACLE_MATERIALIZE_SHARDS,
+        "bm25_search": _oracle_bm25_search(),
+        "token_vocab": _ORACLE_TOKEN_VOCAB,
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,

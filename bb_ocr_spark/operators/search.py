@@ -1,0 +1,144 @@
+"""Corpus keyword search: inverted-index BM25 ranking + vocabulary stats.
+
+Extends the reference's keyword scoring (hueristics/book_extractor.py
+:149-178 counts keyword hits per document and argmaxes) to the
+corpus-scale form a 100 TB pipeline needs: a document-frequency-aware
+ranking (BM25) over an inverted index, where only (doc_id, token, tf)
+postings ever shuffle and the query side is broadcast.
+
+Determinism across engines: per-term scores are rounded to 9 decimals
+before summation and totals to 6 after (the same discipline as the IVF
+dot products), and ranking ties break on doc_id — so a DuckDB oracle
+replays the exact top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def token_vocab(
+    docs: DataFrame,
+    top_v: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: (token, n_total, n_docs), optionally truncated
+    to the top_v most frequent (count desc, token asc — deterministic
+    ties). One explode + one groupBy; map-side combine does the heavy
+    lifting, the reduce side sees one row per distinct token."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    vocab = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("id").cast("long").alias("n_docs"),
+    )
+    if top_v is not None:
+        vocab = (
+            vocab.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(F.desc("n_total"), F.asc("token"))
+                ),
+            )
+            .filter(F.col("rk") <= top_v)
+            .drop("rk")
+        )
+    return vocab
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Top-k docs per query under BM25:
+
+      idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+      score(q,d)  = Σ_t∈q idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avglen))
+
+    Returns (query_id, doc_id, score, rk) with rk 1..k per query, ranked
+    by (score desc, doc_id asc).
+
+    Scale shape: postings (id, token, tf) are one explode + groupBy —
+    the only corpus-sized shuffles are on the token key; doc lengths ride
+    along via a groupBy on id. N and avglen are scalar aggregates
+    (1-row crossJoin). The query term table is tiny and BROADCAST into
+    the postings join, so the corpus never reshuffles per query set; the
+    final top-k is a window over candidate (query, doc) pairs — only
+    docs sharing at least one query term, not the corpus."""
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_tk")
+    )
+    exploded = base.select(
+        "id", F.explode_outer(F.col("_tk")).alias("token")
+    ).filter(F.col("token").isNotNull())
+    postings = exploded.groupBy("id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    doc_len = base.select("id", F.size("_tk").cast("long").alias("dl"))
+    stats = doc_len.agg(
+        F.count("*").cast("long").alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_tok = postings.groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.explode_outer(tokens_col(F.col(query_text_col))).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+        .distinct()
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "token")
+        .join(df_tok, "token")
+        .join(doc_len, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_term_score",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_corpus") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ),
+        )
+    )
+    totals = scored.groupBy("qid", "id").agg(
+        F.round(F.sum("_term_score"), 6).alias("score")
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        totals.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "score",
+            "rk",
+        )
+    )

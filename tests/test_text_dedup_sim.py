@@ -778,3 +778,69 @@ def test_materialize_shards_roundtrip(spark):
             run += len(t.split(" "))
             got[d] = t
     assert got == want
+
+
+def test_bm25_against_python_reference(spark):
+    """BM25 scores and ranking vs a plain-python fold, including the
+    (score desc, doc_id asc) tie-break and df-aware idf."""
+    import math
+
+    from bb_ocr_spark.operators.search import BM25_B, BM25_K1, bm25_topk
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry date"),
+        (3, "apple apple apple"),
+        (4, "cherry date elderberry fig"),
+        (5, "unrelated words only here"),
+    ]
+    queries = [(10, "apple cherry"), (20, "date")]
+    out = bm25_topk(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(queries, "query_id long, query string"),
+        k=3,
+    ).collect()
+
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+
+    def score(q, d):
+        s = 0.0
+        for term in set(q.split()):
+            tf = toks[d].count(term)
+            if not tf:
+                continue
+            df = sum(term in t for t in toks.values())
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += round(
+                idf * tf * (BM25_K1 + 1)
+                / (tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks[d]) / avgdl)),
+                9,
+            )
+        return round(s, 6)
+
+    want = {}
+    for qid, qtext in queries:
+        scored = sorted(
+            ((score(qtext, d), d) for d, _ in docs if score(qtext, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rk, (s, d) in enumerate(scored, 1):
+            want[(qid, d)] = (s, rk)
+    got = {(r["query_id"], r["doc_id"]): (r["score"], r["rk"]) for r in out}
+    assert got == want
+
+
+def test_token_vocab_truncation_and_ties(spark):
+    from bb_ocr_spark.operators.search import token_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b z")], "doc_id long, text string"
+    )
+    got = [
+        (r["token"], r["n_total"], r["n_docs"])
+        for r in token_vocab(df, top_v=2).orderBy(F.desc("n_total"), "token").collect()
+    ]
+    # a and b tie at 3 total — both kept (top 2), c/z truncated
+    assert got == [("a", 3, 2), ("b", 3, 2)]
