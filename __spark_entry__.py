@@ -682,6 +682,29 @@ def _oracle_ivf() -> str:
     )
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization ADC top-k: corpus scanned as m-byte codes,
+    # query-side distance tables; codebooks train on the canonical model
+    # dir in BOTH engines (same sf-portability rule as ivf_topk)
+    from bb_ocr_spark.operators.similarity import pq_topk, train_pq_codebooks
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    train = spark.read.parquet(
+        os.path.join(_ivf_model_dir(), "embeddings.parquet")
+    )
+    books = train_pq_codebooks(train, dim=64, m=8, ksub=16)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5)
+
+
+def _oracle_pq() -> str:
+    from bb_ocr_spark.operators.similarity import pq_oracle_sql
+
+    return pq_oracle_sql(
+        os.path.join(_ivf_model_dir(), "embeddings.parquet"),
+        dim=64, m=8, ksub=16, k=5, max_query_id=10,
+    )
+
+
 def _q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U8: markdown-fenced / placeholder-laden JSON → cleaned → schema parse
     # with all-null fallback. Raw payloads are synthesized deterministically
@@ -1953,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "ivf_topk": _q_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "json_repair": _q_json_repair,
         "windowed_counts": _q_windowed_counts,
         "semi_join": _q_semi_join,
@@ -2003,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _ORACLE_MINHASH_LSH,
         "simhash": _ORACLE_SIMHASH,
         "ivf_topk": _oracle_ivf(),
+        "pq_topk": _oracle_pq(),
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "json_repair": _ORACLE_JSON_REPAIR,
         "windowed_counts": _ORACLE_WINDOWED_COUNTS,
