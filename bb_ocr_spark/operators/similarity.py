@@ -837,36 +837,61 @@ def train_pq_codebooks(
     ]
 
 
-def _sub_l2_scored(vec: Column, cb, j: int) -> Column:
-    """array<struct<d,idx>> of rounded L2 distances from subspace j of
-    `vec` to every row of codebook cb; array_min picks (d asc, idx asc)
-    — the deterministic code assignment."""
+def _sub_l2_scored(vec: Column, norm: Column, cb, j: int) -> Column:
+    """array<struct<d,idx>> of rounded unit-sphere L2 distances from
+    subspace j of raw `vec` (with precomputed L2 norm column) to every
+    row of codebook cb, via ‖v/n − c‖² = 1 + ‖c‖² − 2⟨v,c⟩/n;
+    array_min picks (d asc, idx asc) — the deterministic assignment.
+
+    HOF form on purpose: an unrolled literal expression tree
+    (m·ksub·dsub ≈ 1024 terms) blows past Janino's method-size limit —
+    whole-stage codegen FAILS and the whole stage falls back to
+    interpreted tree walking (measured 17 s to encode 2000 vectors).
+    As transform/aggregate over a literal array-of-arrays the tree is
+    ~50 nodes with runtime loops, codegen compiles, and the identical
+    arithmetic order (left fold from 0.0) keeps the SQL oracle
+    bit-exact."""
     dsub = cb.shape[1]
+    sub = F.transform(
+        F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double")
+    )
+    cb_lit = F.lit([[float(v) for v in c] for c in cb])
 
-    def dist(cent) -> Column:
-        terms = None
-        for i in range(dsub):
-            e = F.try_element_at(vec, F.lit(j * dsub + i + 1)).cast("double")
-            t = (e - float(cent[i])) * (e - float(cent[i]))
-            terms = t if terms is None else terms + t
-        return F.round(terms, 9)
+    def fold_c2(c) -> float:
+        # python left fold — bit-identical to the IEEE order the SQL
+        # oracle generator embeds, so ||c||² is a shared constant
+        acc = 0.0
+        for v in c:
+            acc = acc + float(v) * float(v)
+        return acc
 
-    return F.array(
-        *[
-            F.struct(dist(c).alias("d"), F.lit(ci).alias("idx"))
-            for ci, c in enumerate(cb)
-        ]
+    c2_lit = F.lit([fold_c2(c) for c in cb])
+
+    def dist(c: Column, i: Column) -> Column:
+        dot = F.aggregate(
+            F.zip_with(sub, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        c2 = F.element_at(c2_lit, i.cast("int") + 1)
+        return F.round(F.lit(1.0) + c2 - F.lit(2.0) * dot / norm, 9)
+
+    return F.transform(
+        cb_lit,
+        lambda c, i: F.struct(
+            dist(c, i).alias("d"), i.cast("int").alias("idx")
+        ),
     )
 
 
-def pq_codes_col(vec: Column, codebooks) -> Column:
+def pq_codes_col(vec: Column, norm: Column, codebooks) -> Column:
     """array<int> of m codes: per subspace, the index of the nearest
     codebook row (rounded-9 L2, ties to the smallest index). 64-dim
     float vectors compress to m bytes — the representation that lets a
     10^12-vector corpus fit a scan budget."""
     return F.array(
         *[
-            F.array_min(_sub_l2_scored(vec, cb, j))["idx"]
+            F.array_min(_sub_l2_scored(vec, norm, cb, j))["idx"]
             for j, cb in enumerate(codebooks)
         ]
     )
@@ -897,32 +922,33 @@ def pq_topk(
     re-evaluate it per element). Approximate by construction: recall vs
     brute force is MEASURED in tests, never assumed."""
 
-    def unit(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
-            .withColumn("_n", _norm(F.col("_v")))
-            .select(
-                out_id,
-                F.transform(
-                    F.col("_v"), lambda x: x.cast("double") / F.col("_n")
-                ).alias("_u"),
-            )
-        )
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("_v")
+        ).withColumn("_n", _norm(F.col("_v")))
 
-    c = unit(corpus, "vec_id").select(
-        "vec_id", pq_codes_col(F.col("_u"), codebooks).alias("codes")
+    c = prep(corpus, "vec_id").select(
+        "vec_id",
+        pq_codes_col(F.col("_v"), F.col("_n"), codebooks).alias("codes"),
     )
-    q = unit(queries, "query_id").select(
-        "query_id", F.col("_u").alias("q_vec")
+    # the per-query distance tables are MATERIALIZED as columns on the
+    # (tiny, broadcast) query frame BEFORE the join: left inside the
+    # post-join projection they would re-evaluate per (corpus × query)
+    # output row
+    q = prep(queries, "query_id").select(
+        "query_id",
+        *[
+            F.transform(
+                _sub_l2_scored(F.col("_v"), F.col("_n"), cb, j),
+                lambda s: s["d"],
+            ).alias(f"_t{j}")
+            for j, cb in enumerate(codebooks)
+        ],
     )
-    # per-query distance tables as expression arrays; lookup by code
     adc = None
-    for j, cb in enumerate(codebooks):
-        dtab = F.transform(
-            _sub_l2_scored(F.col("q_vec"), cb, j), lambda s: s["d"]
-        )
+    for j in range(len(codebooks)):
         term = F.try_element_at(
-            dtab, F.try_element_at(F.col("codes"), F.lit(j + 1)) + 1
+            F.col(f"_t{j}"), F.try_element_at(F.col("codes"), F.lit(j + 1)) + 1
         )
         adc = term if adc is None else adc + term
     scored = (
@@ -975,42 +1001,50 @@ def pq_oracle_sql(
         for j in range(m)
     ]
 
-    def dist_term(src: str, j: int, cent) -> str:
-        parts = [
-            f"({src}[{j * dsub + i + 1}] - {float(cent[i])!r})"
-            f" * ({src}[{j * dsub + i + 1}] - {float(cent[i])!r})"
+    def dist_term(src: str, nsrc: str, j: int, cent) -> str:
+        # mirror of _sub_l2_scored exactly: 1 + ||c||² − 2⟨v_sub,c⟩/n
+        # with ||c||² as the python left-fold literal (same IEEE order as
+        # the Spark aggregate) and the dot as a left-assoc sum
+        c2 = 0.0
+        for v in cent:
+            c2 = c2 + float(v) * float(v)
+        dot = " + ".join(
+            f"{src}[{j * dsub + i + 1}] * {float(cent[i])!r}"
             for i in range(dsub)
-        ]
-        return "round(" + " + ".join(parts) + ", 9)"
+        )
+        return f"round(1.0 + {c2!r} - 2.0 * ({dot}) / {nsrc}, 9)"
 
-    def dlist(src: str, j: int) -> str:
-        return "[" + ", ".join(dist_term(src, j, c) for c in books[j]) + "]"
+    def dlist(src: str, nsrc: str, j: int) -> str:
+        return (
+            "["
+            + ", ".join(dist_term(src, nsrc, j, c) for c in books[j])
+            + "]"
+        )
 
     ds_cols = ",\n         ".join(
-        f"{dlist('v', j)} AS ds_{j}" for j in range(m)
+        f"{dlist('v', 'n', j)} AS ds_{j}" for j in range(m)
     )
     code_cols = ", ".join(
         f"list_position(ds_{j}, list_min(ds_{j})) - 1 AS c_{j}"
         for j in range(m)
     )
     qt_cols = ",\n         ".join(
-        f"{dlist('qv', j)} AS t_{j}" for j in range(m)
+        f"{dlist('qv', 'qn', j)} AS t_{j}" for j in range(m)
     )
     adc = " + ".join(f"qt.t_{j}[enc.c_{j} + 1]" for j in range(m))
     return f"""
-WITH e0 AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS n
   FROM {table}
-), e AS (
-  SELECT vec_id, list_transform(v0, x -> x / n) AS v FROM e0
 ), ds AS (
   SELECT vec_id, {ds_cols} FROM e
 ), enc AS (
   SELECT vec_id, {code_cols} FROM ds
 ), q AS (
-  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {max_query_id}
+  SELECT vec_id AS query_id, v AS qv, n AS qn FROM e
+  WHERE vec_id < {max_query_id}
 ), qt AS (
   SELECT query_id, {qt_cols} FROM q
 ), scored AS (
