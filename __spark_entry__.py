@@ -1473,6 +1473,38 @@ FROM o2 GROUP BY shard_id
 """
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-token-window chunking with overlap (embedding/RAG/pretraining
+    # prep): narrow, zero shuffle; every token covered, consecutive
+    # chunks share the overlap
+    from bb_ocr_spark.functions.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk=24, overlap=8)
+
+
+_ORACLE_CHUNK_DOCS = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), spec AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 24 THEN 1
+              ELSE CAST(ceil((len(t) - 24) / 16.0) AS INT) + 1 END AS nc
+  FROM tk
+), c AS (
+  SELECT doc_id, i - 1 AS chunk_id,
+         t[(i - 1) * 16 + 1 : (i - 1) * 16 + 24] AS w
+  FROM spec, unnest(range(1, nc + 1)) u(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(w, ' '), '') AS text_chunk
+FROM c
+"""
+
+
 _BM25_QUERIES = [
     (1, "table scan fast"),
     (2, "customer order stream"),
@@ -1998,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialize_shards": _q_materialize_shards,
         "bm25_search": _q_bm25_search,
         "token_vocab": _q_token_vocab,
+        "chunk_docs": _q_chunk_docs,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
@@ -2050,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "materialize_shards": _ORACLE_MATERIALIZE_SHARDS,
         "bm25_search": _oracle_bm25_search(),
         "token_vocab": _ORACLE_TOKEN_VOCAB,
+        "chunk_docs": _ORACLE_CHUNK_DOCS,
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,

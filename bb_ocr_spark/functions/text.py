@@ -210,3 +210,60 @@ def rolling_hash_col(text: Column, base: int = 1000003) -> Column:
             acc * F.lit(base).cast("long") + h(t), F.lit(MERSENNE31)
         ),
     )
+
+
+def chunk_spec(n_tokens: Column, chunk: int, overlap: int) -> Column:
+    """number of chunks for a doc of n_tokens under (chunk, overlap)
+    windowing: starts advance by step = chunk - overlap; every token is
+    covered; a doc that fits in one window yields exactly one chunk;
+    empty docs yield one empty chunk (callers filter if unwanted)."""
+    step = chunk - overlap
+    return F.when(
+        n_tokens <= chunk, F.lit(1)
+    ).otherwise(
+        F.ceil((n_tokens - F.lit(chunk)).cast("double") / step).cast("int")
+        + 1
+    )
+
+
+def chunk_documents(
+    df,
+    chunk: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """docs → one row per fixed-size token window (the chunking step of
+    embedding/RAG/pretraining pipelines): (id_col, chunk_id, n_tokens,
+    text_chunk), windows of `chunk` whitespace tokens advancing by
+    chunk − overlap so consecutive chunks share `overlap` tokens.
+
+    Narrow (zero shuffle): tokens materialize once per doc, the window
+    list is a transform over sequence, and the explode is explode_outer
+    + post-filter (the Generate-filter trap — a plain explode would
+    re-inline the computed window array into an inferred filter)."""
+    assert 0 <= overlap < chunk, "need 0 <= overlap < chunk"
+    step = chunk - overlap
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")
+    ).select(
+        id_col,
+        "_tk",
+        chunk_spec(F.size("_tk"), chunk, overlap).alias("_nc"),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.col("_nc") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(F.col("_tk"), i * step + 1, chunk).alias("_w"),
+        ),
+    )
+    out = base.select(
+        id_col, F.explode_outer(windows).alias("_c")
+    ).filter(F.col("_c").isNotNull())
+    return out.select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.size("_c._w").cast("long").alias("n_tokens"),
+        F.array_join("_c._w", " ").alias("text_chunk"),
+    )

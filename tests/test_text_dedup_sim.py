@@ -889,3 +889,40 @@ def test_pq_adc_recall_and_determinism(spark):
     # determinism across partitioning
     again = pq_topk(corpus.repartition(13), queries, books, k=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered; consecutive chunks share exactly
+    `overlap` tokens; dropping the overlap from chunks 1.. reconstructs
+    the doc; boundary cases (fits-in-one, empty) behave."""
+    from bb_ocr_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(50))),   # multi-chunk
+        (2, " ".join(f"s{i}" for i in range(10))),   # exactly chunk size
+        (3, "a b c"),                                 # shorter than chunk
+        (4, ""),                                      # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk=10, overlap=3)
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+
+    toks1 = [f"t{i}" for i in range(50)]
+    c1 = chunks[1]
+    step = 7
+    assert len(c1) == -(-(50 - 10) // step) + 1  # ceil((n-chunk)/step)+1
+    rebuilt = c1[0]["text_chunk"].split(" ")
+    for i in range(1, len(c1)):
+        w = c1[i]["text_chunk"].split(" ")
+        assert rebuilt[-3:] == w[:3]              # shared overlap
+        rebuilt.extend(w[3:])
+    assert rebuilt == toks1
+    for i, r in sorted(c1.items()):
+        assert r["text_chunk"].split(" ") == toks1[i * step : i * step + 10]
+
+    assert len(chunks[2]) == 1 and chunks[2][0]["n_tokens"] == 10
+    assert len(chunks[3]) == 1 and chunks[3][0]["text_chunk"] == "a b c"
+    assert len(chunks[4]) == 1 and chunks[4][0]["n_tokens"] == 0
+    assert chunks[4][0]["text_chunk"] == ""
