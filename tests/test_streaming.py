@@ -256,3 +256,58 @@ def test_snapshot_reader_ignores_stale_pointer_and_sorts_numerically(tmp_path):
     assert current_snapshot(out)["snapshot_id"] == 1_000_000
     m = commit_snapshot(out, "run-next", 1, 3)  # no livelock, chains on top
     assert m["snapshot_id"] == 1_000_001
+
+
+def test_streaming_curation_accumulates_and_dedups(spark, tmp_path):
+    """Streamed deliveries curate through the same incremental state as
+    batch runs: cross-delivery dupes die, replays converge, and a batch
+    delivery can interleave with streaming epochs on one state dir."""
+    import os
+
+    from bb_ocr_spark.plans.curate_incremental import (
+        accumulated_fingerprints,
+        run_incremental_curation,
+    )
+    from bb_ocr_spark.plans.snapshots import current_snapshot
+    from bb_ocr_spark.streaming.curate_stream import run_curate_stream
+
+    inbox = str(tmp_path / "inbox")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(inbox)
+
+    def doc(i, tag):
+        return (i, " ".join(f"w{tag}_{j} the of and to" for j in range(12)))
+
+    d1 = spark.createDataFrame(
+        [doc(i, f"a{i}") for i in range(6)], "doc_id long, text string"
+    )
+    d1.coalesce(1).write.parquet(os.path.join(inbox, "d1"))
+    run_curate_stream(spark, inbox + "/*", state, ck)
+    cur = current_snapshot(state)
+    assert cur["n_docs_total"] == 6
+
+    # delivery 2: 2 new + 3 copies of delivery-1 texts → only 2 survive
+    rows2 = [doc(100 + i, f"b{i}") for i in range(2)]
+    rows2 += [(200 + i, d1.collect()[i]["text"]) for i in range(3)]
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(inbox, "d2"))
+    run_curate_stream(spark, inbox + "/*", state, ck)
+    cur = current_snapshot(state)
+    assert cur["n_docs_total"] == 8
+    assert len(cur["run_ids"]) == 2
+
+    # re-drain with nothing new: no epoch fires, chain unchanged
+    run_curate_stream(spark, inbox + "/*", state, ck)
+    assert current_snapshot(state)["n_docs_total"] == 8
+
+    # a BATCH delivery interleaves on the same state
+    b = spark.createDataFrame(
+        [doc(300, "c0"), (301, d1.collect()[0]["text"])],
+        "doc_id long, text string",
+    )
+    out = run_incremental_curation(spark, b, state, "batch-1")
+    assert out["n_new"] == 1
+    assert current_snapshot(state)["n_docs_total"] == 9
+    assert accumulated_fingerprints(spark, state).count() == 9
