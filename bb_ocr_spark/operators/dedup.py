@@ -932,13 +932,17 @@ def substring_dedup(
         F.array_sort(F.collect_list("pos")).alias("_ss")
     )
     ss = F.coalesce(F.col("_ss"), F.array().cast("array<int>"))
-    # merge flagged starts into maximal covered runs BEFORE the per-token
-    # test: exists-over-starts would be O(n_tokens × n_starts) per doc
-    # (quadratic on a fully-duplicated mega-doc); over merged runs it is
-    # O(n_tokens × n_runs). Sentinels avoid 0/size+1 indexing: a start
-    # opens a new run iff it exceeds the previous start by more than k
-    # (equal-length intervals ⇒ ends are monotone), and closes one iff
-    # the next start exceeds IT by more than k.
+    # merge flagged starts into maximal covered runs, then rebuild the
+    # kept tokens by SLICING THE GAPS between runs — O(n_runs) slices per
+    # doc, never a per-token membership test (an exists-over-runs filter
+    # per token re-evaluated the whole run derivation inside the lambda:
+    # CollapseProject inlines aliases into lambda bodies, measured 68 s →
+    # 4 s on the 25k-doc soak). Sentinels avoid 0/size+1 indexing: a
+    # start opens a new run iff it exceeds the previous start by more
+    # than k (equal-length intervals ⇒ ends are monotone), and closes
+    # one iff the next start exceeds IT by more than k; merged runs are
+    # separated by >= 1 kept token by construction, and every gap slice
+    # has non-negative length.
     lo_sentinel = F.array(F.lit(-(k + 2)).cast("int"))
     hi_sentinel = F.array(F.lit((1 << 31) - 1).cast("int"))
     with_prev = F.concat(lo_sentinel, ss)
@@ -958,14 +962,31 @@ def substring_dedup(
         F.col("_tk"),
         runs.alias("_runs"),
     )
-    covered = lambda p: F.exists(  # noqa: E731  (1-based token position p)
-        F.col("_runs"), lambda r: (r["s"] <= p) & (p <= r["e"])
+    n = F.size("_tk")
+    nr = F.size("_runs")
+    # gap i (0-based, nr+1 gaps): tokens strictly between run i-1's end
+    # and run i's start (doc edges as virtual runs)
+    gap_start = lambda i: F.when(  # noqa: E731
+        i == 0, F.lit(1)
+    ).otherwise(F.try_element_at(F.col("_runs"), i)["e"] + 1)
+    gap_end = lambda i: F.when(  # noqa: E731
+        i == nr, n
+    ).otherwise(F.try_element_at(F.col("_runs"), i + 1)["s"] - 1)
+    kept = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nr),
+            lambda i: F.slice(
+                F.col("_tk"),
+                gap_start(i),
+                F.greatest(gap_end(i) - gap_start(i) + 1, F.lit(0)),
+            ),
+        )
     )
-    kept = F.filter(F.col("_tk"), lambda t, i: ~covered(i + 1))
-    return out.select(
+    with_kept = out.select("id", "_tk", "_runs", kept.alias("_kept"))
+    return with_kept.select(
         F.col("id").alias(id_col),
         F.size("_tk").cast("long").alias("n_tokens"),
-        (F.size("_tk") - F.size(kept)).cast("long").alias("n_dup_tokens"),
+        (F.size("_tk") - F.size("_kept")).cast("long").alias("n_dup_tokens"),
         F.size("_runs").cast("long").alias("n_dup_runs"),
-        F.array_join(kept, " ").alias("text_dedup"),
+        F.array_join("_kept", " ").alias("text_dedup"),
     )
