@@ -1473,6 +1473,54 @@ FROM o2 GROUP BY shard_id
 """
 
 
+_SUBSTR_K = 5  # k-gram width shared by substring_dedup + boilerplate mining
+
+
+def _q_boilerplate_kgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boilerplate mining: most-repeated token k-grams with the gram text
+    # reconstructed only for the final top-N (the observability companion
+    # to substring_dedup)
+    from bb_ocr_spark.operators.dedup import top_repeated_kgrams
+
+    return top_repeated_kgrams(_docs(spark, sf_dir), k=_SUBSTR_K, top_n=20)
+
+
+_ORACLE_BOILERPLATE_KGRAMS = f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), occ AS (
+  SELECT id, i AS pos, array_to_string(t[i:i+{_SUBSTR_K}-1], chr(1)) AS g
+  FROM tk, unnest(range(1, len(t) - {_SUBSTR_K} + 2)) AS u(i)
+), k1 AS (
+  SELECT g, id, pos, row_number() OVER (PARTITION BY g ORDER BY id, pos) AS r
+  FROM occ
+), keep AS (
+  SELECT g, id AS keeper_id, pos AS keeper_pos FROM k1 WHERE r = 1
+), stats AS (
+  SELECT g, count(*) AS n_total, count(DISTINCT id) AS n_docs
+  FROM occ GROUP BY g HAVING count(*) >= 2
+), top AS (
+  SELECT s.g, n_total, n_docs, keeper_id, keeper_pos,
+         row_number() OVER (ORDER BY n_total DESC, keeper_id, keeper_pos)
+           AS rk
+  FROM stats s JOIN keep USING (g)
+)
+SELECT array_to_string(
+         tk.t[top.keeper_pos : top.keeper_pos + {_SUBSTR_K} - 1], ' ')
+         AS gram,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       keeper_id,
+       CAST(keeper_pos AS BIGINT) AS keeper_pos,
+       CAST(rk AS BIGINT) AS rk
+FROM top JOIN tk ON tk.id = top.keeper_id
+WHERE rk <= 20
+"""
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-token-window chunking with overlap (embedding/RAG/pretraining
     # prep): narrow, zero shuffle; every token covered, consecutive
@@ -1933,9 +1981,6 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_extract_reassemble(spark, SF0001)
 
 
-_SUBSTR_K = 5
-
-
 def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide substring-level dedup (Lee et al. ExactSubstr semantics
     # at token k-gram granularity): any k-token run occurring >= 2 times
@@ -2031,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "token_vocab": _q_token_vocab,
         "chunk_docs": _q_chunk_docs,
+        "boilerplate_kgrams": _q_boilerplate_kgrams,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
@@ -2084,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _oracle_bm25_search(),
         "token_vocab": _ORACLE_TOKEN_VOCAB,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
+        "boilerplate_kgrams": _ORACLE_BOILERPLATE_KGRAMS,
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,

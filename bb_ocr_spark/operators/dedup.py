@@ -990,3 +990,70 @@ def substring_dedup(
         F.size("_runs").cast("long").alias("n_dup_runs"),
         F.array_join("_kept", " ").alias("text_dedup"),
     )
+
+
+def top_repeated_kgrams(
+    df: DataFrame,
+    k: int = 8,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus boilerplate mining: the top_n most-repeated token k-grams,
+    as (gram, n_total, n_docs, keeper_id, keeper_pos) with gram the
+    actual text — the observability companion to substring_dedup (what
+    WOULD it remove, and from how many docs?).
+
+    Scale shape: the same O(total tokens) hashed occurrence inventory as
+    substring_dedup (only (id, pos, 8-byte hash) shuffles); gram TEXT is
+    reconstructed ONLY for the final top_n rows by joining their keeper
+    (id, pos) back to the token arrays and slicing — never for the full
+    gram population. Ranking ties break on (keeper_id, keeper_pos), both
+    available hash-side, so the top-N cut is deterministic without
+    materializing any text."""
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..functions.text import tokens_col  # noqa: PLC0415
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_tk")
+    )
+    base = track_persist(base)
+    occ = _gram_occurrences_expr(base, k)
+    stats = (
+        occ.groupBy("g")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min(F.struct("id", "pos")).alias("keep"),
+        )
+        .filter(F.col("n_total") >= 2)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy(
+        F.desc("n_total"), F.asc("keep.id"), F.asc("keep.pos")
+    )
+    top = (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(
+            F.col("keep.id").alias("keeper_id"),
+            F.col("keep.pos").alias("keeper_pos"),
+            "n_total",
+            "n_docs",
+            "rk",
+        )
+    )
+    return (
+        top.join(base, top["keeper_id"] == base["id"])
+        .select(
+            F.array_join(
+                F.slice(F.col("_tk"), F.col("keeper_pos"), k), " "
+            ).alias("gram"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("keeper_id"),
+            F.col("keeper_pos").cast("long").alias("keeper_pos"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

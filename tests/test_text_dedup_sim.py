@@ -926,3 +926,23 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(chunks[3]) == 1 and chunks[3][0]["text_chunk"] == "a b c"
     assert len(chunks[4]) == 1 and chunks[4][0]["n_tokens"] == 0
     assert chunks[4][0]["text_chunk"] == ""
+
+
+def test_top_repeated_kgrams_planted(spark):
+    """The planted banner's internal k-grams dominate the repeated-gram
+    table, each counted once per doc with the tile-0 keeper."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.dedup import top_repeated_kgrams
+
+    banner, df = _ssd_corpus(spark, n_docs=40, banner_tokens=12)
+    out = top_repeated_kgrams(df, k=6, top_n=5).collect()
+    release_persisted()
+    assert len(out) == 5
+    btoks = banner.split(" ")
+    for r in out:
+        assert r["n_total"] == 40 and r["n_docs"] == 40
+        assert r["keeper_id"] == 0
+        # gram text is a real banner window
+        g = r["gram"].split(" ")
+        i = btoks.index(g[0])
+        assert btoks[i : i + 6] == g
