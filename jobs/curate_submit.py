@@ -9,6 +9,7 @@ Cluster usage (same packaging contract as jobs/extract_submit.py):
         --state  <curation state dir> \
         --run-id <delivery id> \
         [--fp-table NAME] [--eval-input PATH] [--shard-budget N]
+        [--materialize] [--compact-state]
 
 Each invocation curates ONE delivery against the accumulated state
 (plans/curate_incremental.py): scrub + quality, in-batch exact dedup,
@@ -41,6 +42,10 @@ def main() -> None:
                     help="token budget per training shard; when set, this "
                          "run's survivors get (id, weight, prefix, shard_id) "
                          "written to <state>/shards/run_id=<run-id>")
+    ap.add_argument("--materialize", action="store_true",
+                    help="with --shard-budget: also write the training-file "
+                         "rows (doc-atomic assignment, concatenated text + "
+                         "doc offsets) to <state>/shard_files/run_id=<run-id>")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -86,6 +91,25 @@ def main() -> None:
             assign_shards(committed, args.shard_budget, key_col="id"),
             os.path.join(args.state, "shards", f"run_id={args.run_id}"),
         )
+        if args.materialize:
+            from bb_ocr_spark.operators.packing import (
+                assign_shards_atomic,
+                materialize_shards,
+            )
+
+            atomic = assign_shards_atomic(
+                committed.select("id", "n_tokens"),
+                args.shard_budget,
+                key_col="id",
+            )
+            write_run_once(
+                materialize_shards(
+                    atomic, committed.select("id", "text"), key_col="id"
+                ),
+                os.path.join(
+                    args.state, "shard_files", f"run_id={args.run_id}"
+                ),
+            )
         release_persisted()
 
     print(json.dumps({

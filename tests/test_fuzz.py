@@ -331,3 +331,57 @@ def test_fuzz_assign_shards_atomic_greedy_reference(spark):
         assert sum(ws) <= budget or len(ws) == 1, (shard, ws)
     # ids are consecutive from 0
     assert sorted(set(want.values())) == list(range(next_shard))
+
+
+def test_fuzz_substring_dedup_python_reference(spark):
+    """Random small-alphabet corpora (forced repeats) vs a brute-force
+    python implementation of the rule: gram occurrences → keeper =
+    globally-first → covered-position union → rebuild. Checks every
+    output column including run counts, for several k."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.dedup import substring_dedup
+
+    rng = random.Random("ssd-fuzz")
+    alphabet = [f"w{i}" for i in range(7)]  # tiny → repeats guaranteed
+    rows = [
+        (d, " ".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30))))
+        for d in range(20)
+    ]
+
+    def reference(k):
+        toks = {d: t.split() if t else [] for d, t in rows}
+        occ = {}
+        for d in sorted(toks):
+            tk = toks[d]
+            for p in range(len(tk) - k + 1):
+                occ.setdefault(tuple(tk[p : p + k]), []).append((d, p + 1))
+        flagged = {}
+        for g, sites in occ.items():
+            if len(sites) >= 2:
+                for d, p in sorted(sites)[1:]:
+                    flagged.setdefault(d, set()).add(p)
+        out = {}
+        for d, tk in toks.items():
+            starts = sorted(flagged.get(d, ()))
+            covered = set()
+            for s in starts:
+                covered.update(range(s, s + k))
+            runs = sum(
+                1
+                for i, s in enumerate(starts)
+                if i == 0 or s - starts[i - 1] > k
+            )
+            kept = [t for i, t in enumerate(tk, 1) if i not in covered]
+            out[d] = (len(tk), len(covered & set(range(1, len(tk) + 1))),
+                      runs, " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (2, 3, 5):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"],
+                          r["n_dup_runs"], r["text_dedup"])
+            for r in substring_dedup(df, k=k).collect()
+        }
+        release_persisted()
+        assert got == reference(k), k

@@ -52,3 +52,68 @@ def test_spark_submit_roundtrip(tmp_path):
     # resume: a second submit over the same corpus must be a no-op
     s2 = _spark_submit(["--input", inp, "--output", outp, "--run-id", "r2"], cwd=work)
     assert s2["n_docs"] == 0 and s2["resumed_skipped"] == 300
+
+
+def _curate_submit(args: list[str], cwd: str) -> dict:
+    sub = shutil.which("spark-submit")
+    if not sub:
+        import pyspark
+
+        sub = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    out = subprocess.run(
+        [sub, "--master", "local[4]",
+         "--py-files", os.path.join(REPO, "dist", "bb_ocr_spark.zip"),
+         os.path.join(REPO, "jobs", "curate_submit.py"), *args],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats_line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(stats_line)
+
+
+def test_curate_submit_with_shards(tmp_path):
+    """The curation packaging contract driven end to end: one delivery
+    through a real spark-submit with --shard-budget --materialize, then a
+    replay that must be a committed no-op leaving the shard files alone."""
+    import pandas as pd
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    inp, state = str(tmp_path / "docs"), str(tmp_path / "state")
+    docs = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [
+            " ".join(f"w{d}_{j} the of and to" for j in range(12))
+            for d in range(40)
+        ],
+    })
+    docs.to_parquet(inp + ".parquet")
+    os.makedirs(inp)
+    shutil.move(inp + ".parquet", os.path.join(inp, "part-0.parquet"))
+
+    s1 = _curate_submit(
+        ["--input", inp, "--state", state, "--run-id", "d1",
+         "--shard-budget", "200", "--materialize"],
+        cwd=work,
+    )
+    assert s1["n_new"] == 40 and not s1["replayed"]
+    shard_dir = os.path.join(state, "shard_files", "run_id=d1")
+    assert os.path.exists(os.path.join(shard_dir, "_SUCCESS"))
+    shards = pd.read_parquet(shard_dir)
+    assert shards["n_docs"].sum() == 40
+    assert ((shards["n_tokens"] <= 200) | (shards["n_docs"] == 1)).all()
+
+    # replay: committed run is a no-op; shard files untouched
+    mtime = os.path.getmtime(os.path.join(shard_dir, "_SUCCESS"))
+    s2 = _curate_submit(
+        ["--input", inp, "--state", state, "--run-id", "d1",
+         "--shard-budget", "200", "--materialize"],
+        cwd=work,
+    )
+    assert s2["replayed"] and s2["n_docs_total"] == 40
+    assert os.path.getmtime(os.path.join(shard_dir, "_SUCCESS")) == mtime
