@@ -1521,6 +1521,46 @@ WHERE rk <= 20
 """
 
 
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-trained unigram-LM surprisal per doc (perplexity-filter
+    # family); per-token surprisal quantized to integer micro-nats so
+    # the sum is order-independent and exact in both engines
+    from bb_ocr_spark.operators.search import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir))
+
+
+_ORACLE_UNIGRAM_SURPRISAL = r"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM tk GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM vocab
+), scored AS (
+  SELECT id,
+         CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp
+  FROM tk JOIN vocab USING (token) CROSS JOIN tot
+), per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lp) AS BIGINT) AS s
+  FROM scored GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(s, 0) AS surprisal_micronats,
+       CASE WHEN n_tokens > 0
+            THEN round(s / (n_tokens * 1000000.0), 6)
+            ELSE 0.0 END AS mean_surprisal_nats
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per ON per.id = d.doc_id
+"""
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-token-window chunking with overlap (embedding/RAG/pretraining
     # prep): narrow, zero shuffle; every token covered, consecutive
@@ -2077,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab": _q_token_vocab,
         "chunk_docs": _q_chunk_docs,
         "boilerplate_kgrams": _q_boilerplate_kgrams,
+        "unigram_surprisal": _q_unigram_surprisal,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
@@ -2131,6 +2172,7 @@ def oracle_sql() -> dict[str, str]:
         "token_vocab": _ORACLE_TOKEN_VOCAB,
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "boilerplate_kgrams": _ORACLE_BOILERPLATE_KGRAMS,
+        "unigram_surprisal": _ORACLE_UNIGRAM_SURPRISAL,
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,

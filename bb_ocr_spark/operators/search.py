@@ -142,3 +142,71 @@ def bm25_topk(
             "rk",
         )
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality scoring with a corpus-trained unigram LM
+    (the cheap end of the CCNet/perplexity-filter family): per doc,
+    the total and mean surprisal −ln p(token) under p(t) = count(t)/N
+    counted over the corpus itself. Outliers (very high mean surprisal =
+    rare-token soup, very low = repetitive boilerplate) are the docs a
+    quality pass inspects first.
+
+    Returns (id_col, n_tokens, surprisal_micronats, mean_surprisal_nats).
+
+    Cross-engine determinism: floating-point SUMS are order-dependent,
+    so per-token surprisal is quantized to integer MICRO-nats
+    (round(−ln p · 1e6) as BIGINT) and summed as integers — exact and
+    order-independent in both engines; the mean divides two exact
+    integers. Scale shape: one token explode + count groupBy (map-side
+    combined), one join of tokens against the (vocab-sized) count table,
+    one groupBy back per doc — all shuffles on tokens/ids."""
+    from ..cache import track_persist  # noqa: PLC0415
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("token"),
+    )
+    # feeds both the count pass and the scoring join (no CSE across
+    # self-referencing plans): persist so tokenization runs once
+    toks = track_persist(toks.filter(F.col("token").isNotNull()))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_corpus"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp_micro",
+            F.round(
+                -F.log(F.col("cnt").cast("double") / F.col("n_corpus"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("_lp_micro").alias("surprisal_micronats"),
+    )
+    # left join: zero-token docs keep a row (0 tokens, 0 surprisal)
+    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
+    return all_docs.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("surprisal_micronats", F.lit(0))
+        .cast("long")
+        .alias("surprisal_micronats"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("surprisal_micronats")
+                / (F.col("n_tokens") * F.lit(1_000_000.0)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_surprisal_nats"),
+    )

@@ -946,3 +946,38 @@ def test_top_repeated_kgrams_planted(spark):
         g = r["gram"].split(" ")
         i = btoks.index(g[0])
         assert btoks[i : i + 6] == g
+
+
+def test_unigram_surprisal_reference_and_partition_invariance(spark):
+    """Hand-computable surprisal on a tiny corpus, plus the property the
+    integer micro-nat design exists for: bit-identical totals at any
+    partitioning (float sums would drift by summation order)."""
+    import math
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.search import unigram_surprisal
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    release_persisted()
+    # corpus counts: a=2, b=2, c=1, N=5
+    lp = {t: round(-math.log(c / 5) * 1e6) for t, c in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[1]["surprisal_micronats"] == 2 * lp["a"] + lp["b"]
+    assert out[2]["surprisal_micronats"] == lp["b"] + lp["c"]
+    assert out[3]["n_tokens"] == 0 and out[3]["surprisal_micronats"] == 0
+    assert out[1]["mean_surprisal_nats"] == round(
+        (2 * lp["a"] + lp["b"]) / 3e6, 6
+    )
+
+    big = spark.createDataFrame(
+        [(d, " ".join(f"w{(d * 7 + j) % 13}" for j in range(30)))
+         for d in range(300)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, unigram_surprisal(big).collect()))
+    release_persisted()
+    b = sorted(map(tuple, unigram_surprisal(big.repartition(17)).collect()))
+    release_persisted()
+    assert a == b
