@@ -122,9 +122,18 @@ def run_incremental_curation(
     text_col: str = "text",
     bucketed_fp_table: str | None = None,
     fp_buckets: int = 16,
+    minhash_state_table: str | None = None,
+    near_dup_est_threshold: float = 0.5,
 ) -> dict:
     """Curate one delivery against the accumulated state; returns the
-    committed manifest plus this run's survivor count."""
+    committed manifest plus this run's survivor count.
+
+    minhash_state_table additionally drops NEAR-dups of prior deliveries
+    (estimated-Jaccard >= near_dup_est_threshold against the accumulated
+    signature state — see near_dup_drops) and appends the survivors'
+    signatures/band buckets for future deliveries. Exact fingerprints
+    catch byte-identical resubmissions; this tier catches lightly-edited
+    ones."""
     cur = current_snapshot(state_dir)
     if cur is not None and run_id in cur["run_ids"]:
         return {"manifest": cur, "n_new": 0, "replayed": True}
@@ -153,6 +162,27 @@ def run_incremental_curation(
     if seen is not None:
         batch_uniq = batch_uniq.join(seen, "fp", "left_anti")
 
+    batch_sigs = None
+    if minhash_state_table is not None:
+        from ..cache import track_persist  # noqa: PLC0415
+        from ..operators.dedup import minhash_signatures_pandas  # noqa: PLC0415
+
+        # referenced by the drop join AND the survivor-state append
+        batch_sigs = track_persist(
+            minhash_signatures_pandas(
+                batch_uniq, MINHASH_HASHES, 3, "id", "text"
+            )
+        )
+        drops = near_dup_drops(
+            spark,
+            batch_sigs,
+            state_dir,
+            minhash_state_table,
+            near_dup_est_threshold,
+        )
+        if drops is not None:
+            batch_uniq = batch_uniq.join(drops, "id", "left_anti")
+
     curated = batch_uniq.select(
         "id",
         "text",
@@ -172,6 +202,15 @@ def run_incremental_curation(
         append_bucketed_fingerprints(
             committed.select("fp").withColumn("run_id", F.lit(run_id)),
             bucketed_fp_table,
+            fp_buckets,
+        )
+    if minhash_state_table is not None:
+        # survivors only: a dropped near-dup's representative is already
+        # in state; same commit-before-snapshot ordering as the fps
+        append_minhash_state(
+            batch_sigs.join(committed.select("id"), "id"),
+            run_id,
+            minhash_state_table,
             fp_buckets,
         )
     row = committed.selectExpr(
@@ -235,3 +274,124 @@ def compact_bucketed_fingerprints(
         "files_after": len(compacted.inputFiles()),
         "rows": compacted.count(),
     }
+
+
+# --------------------------------------------------------------------------
+# cross-delivery NEAR-dup state (MinHash signatures + LSH band buckets)
+# --------------------------------------------------------------------------
+
+MINHASH_HASHES = 64
+MINHASH_BANDS = 16
+
+
+def _band_bucket_rows(sigs: DataFrame) -> DataFrame:
+    """(id, sig) → (id, bucket): one row per LSH band; the band index is
+    folded INTO the bucket hash (xxhash64(band, slots…)), so `bucket`
+    alone is the join key — same formula as minhash_lsh_pairs."""
+    r = MINHASH_HASHES // MINHASH_BANDS
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
+def append_minhash_state(
+    sigs: DataFrame, run_id: str, table: str, buckets: int = 16
+) -> None:
+    """Append this run's signature + band-bucket rows to the two
+    hash-bucketed state tables ({table}_buckets on `bucket`, {table}_sigs
+    on `id`) — the one-time shuffles that keep every later delivery's
+    candidate join and signature fetch Exchange-free on the state side."""
+    (
+        _band_bucket_rows(sigs)
+        .withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .bucketBy(buckets, "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(f"{table}_buckets")
+    )
+    (
+        sigs.withColumn("run_id", F.lit(run_id))
+        .write.mode("append")
+        .bucketBy(buckets, "id")
+        .sortBy("id")
+        .format("parquet")
+        .saveAsTable(f"{table}_sigs")
+    )
+
+
+def near_dup_drops(
+    spark: SparkSession,
+    batch_sigs: DataFrame,
+    state_dir: str,
+    table: str,
+    est_threshold: float = 0.5,
+    max_bucket: int = 1024,
+) -> DataFrame | None:
+    """ids of batch docs whose MinHash signature agrees with some
+    COMMITTED prior doc's signature in >= est_threshold of slots, with
+    the candidate set generated by LSH bucket collision against the
+    accumulated state:
+
+      batch bands ⋈ {table}_buckets (state side Exchange-free)
+        → candidate (new, old) pairs, df-capped per state bucket
+        → signatures fetched from {table}_sigs for candidates only
+        → estimated-Jaccard filter.
+
+    Returns None when no committed state exists yet. The estimate is the
+    signature agreement rate (the standard incremental form — exact
+    re-verification would need prior TEXT retained in state; signatures
+    are 64 longs/doc forever, text is not). max_bucket drops degenerate
+    state buckets before pairing (same cap rule as minhash_lsh_pairs)."""
+    if not spark.catalog.tableExists(f"{table}_buckets"):
+        return None
+    cur = current_snapshot(state_dir)
+    if cur is None:
+        return None
+    committed = F.col("run_id").isin(cur["run_ids"])
+    old_buckets = (
+        spark.table(f"{table}_buckets")
+        .filter(committed)
+        .select(F.col("id").alias("old_id"), "bucket")
+    )
+    hot = (
+        old_buckets.groupBy("bucket")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+        .select("bucket")
+    )
+    old_buckets = old_buckets.join(hot, "bucket", "left_anti")
+    cand = (
+        _band_bucket_rows(batch_sigs)
+        .join(old_buckets, "bucket")
+        .select("id", "old_id")
+        .distinct()
+    )
+    old_sigs = (
+        spark.table(f"{table}_sigs")
+        .filter(committed)
+        .select(F.col("id").alias("old_id"), F.col("sig").alias("old_sig"))
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("old_sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(MINHASH_HASHES)
+    return (
+        cand.join(batch_sigs, "id")
+        .join(old_sigs, "old_id")
+        .filter(est >= est_threshold)
+        .select("id")
+        .distinct()
+    )

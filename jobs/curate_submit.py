@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--state", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--fp-table", default=None)
+    ap.add_argument("--minhash-table", default=None,
+                    help="base name for the MinHash near-dup state tables "
+                         "(<name>_buckets / <name>_sigs): lightly-edited "
+                         "resubmissions of prior deliveries are dropped by "
+                         "estimated Jaccard against the accumulated "
+                         "signatures")
     ap.add_argument("--eval-input", default=None,
                     help="optional eval/benchmark docs to decontaminate against")
     ap.add_argument("--compact-state", action="store_true",
@@ -67,6 +73,7 @@ def main() -> None:
         args.state,
         args.run_id,
         bucketed_fp_table=args.fp_table,
+        minhash_state_table=args.minhash_table,
     )
     if args.compact_state and args.fp_table:
         from bb_ocr_spark.plans.curate_incremental import (

@@ -311,3 +311,80 @@ def test_curation_substring_stage(spark):
     release_persisted()
     assert n_with_banner == 12
     assert out2["substring"] is None
+
+
+def test_incremental_curation_near_dup_state(spark, tmp_path):
+    """Cross-delivery NEAR-dup dedup: lightly-edited resubmissions (exact
+    fingerprints can't catch them) die against the accumulated MinHash
+    state; the candidate join reads the state side bucketed and
+    Exchange-free; survivors' signatures extend the state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.plans.curate_incremental import (
+        _band_bucket_rows,
+        run_incremental_curation,
+    )
+
+    table = "mh_state_test"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (f"{table}_buckets", f"{table}_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    state = str(tmp_path / "state")
+
+    def text(tag):
+        return " ".join(f"w{tag}_{j} the of and to" for j in range(12))
+
+    b1 = spark.createDataFrame(
+        [(i, text(f"a{i}")) for i in range(6)], "doc_id long, text string"
+    )
+    r1 = run_incremental_curation(
+        spark, b1, state, "run-1", minhash_state_table=table
+    )
+    assert r1["n_new"] == 6
+
+    # delivery 2: 2 genuinely new + 2 light edits of delivery-1 docs
+    # (one token changed → trigram Jaccard ~0.9, exact fp differs)
+    edited = [
+        (200 + i, text(f"a{i}").replace(f"wa{i}_11", "edited"))
+        for i in range(2)
+    ]
+    rows2 = [(100 + i, text(f"b{i}")) for i in range(2)] + edited
+    b2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    r2 = run_incremental_curation(
+        spark, b2, state, "run-2", minhash_state_table=table
+    )
+    assert r2["n_new"] == 2, r2
+    assert r2["manifest"]["n_docs_total"] == 8
+
+    # replay of a committed run is a no-op
+    r2b = run_incremental_curation(
+        spark, b2, state, "run-2", minhash_state_table=table
+    )
+    assert r2b["replayed"] and r2b["manifest"]["n_docs_total"] == 8
+
+    # only survivors' signatures entered the state (6 + 2 docs × 16 bands)
+    assert spark.table(f"{table}_sigs").count() == 8
+    assert spark.table(f"{table}_buckets").count() == 8 * 16
+
+    # plan evidence: the candidate join reads the bucket state bucketed,
+    # no Exchange above the scan (probe side pays the only exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.createDataFrame(
+            [(99, 1)], "id long, bucket long"
+        ).repartition(16, "bucket")
+        plan = (
+            probe.join(
+                spark.table(f"{table}_buckets").select("bucket", "id"),
+                "bucket",
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, plan[:800]
+        assert plan.count("Exchange") <= 1, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    for t in (f"{table}_buckets", f"{table}_sigs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
