@@ -705,6 +705,43 @@ def _oracle_pq() -> str:
     )
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-stage FAISS-style ANN: IVF coarse pruning + PQ-ADC fine
+    # scoring; both models train on the canonical model dir in both
+    # engines (the ivf_topk/pq_topk portability rule)
+    from bb_ocr_spark.operators.similarity import (
+        ivfpq_topk,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    train = spark.read.parquet(
+        os.path.join(_ivf_model_dir(), "embeddings.parquet")
+    )
+    cents = train_centroids(train, n_centroids=16)
+    books = train_pq_codebooks(train, dim=64, m=8, ksub=16)
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        dim=64,
+        codebooks=books,
+        k=5,
+        n_probe=4,
+        centroids=cents,
+    )
+
+
+def _oracle_ivfpq() -> str:
+    from bb_ocr_spark.operators.similarity import ivfpq_oracle_sql
+
+    return ivfpq_oracle_sql(
+        os.path.join(_ivf_model_dir(), "embeddings.parquet"),
+        dim=64, m=8, ksub=16, k=5, n_centroids=16, n_probe=4,
+        max_query_id=10,
+    )
+
+
 def _q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U8: markdown-fenced / placeholder-laden JSON → cleaned → schema parse
     # with all-null fallback. Raw payloads are synthesized deterministically
@@ -2094,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "json_repair": _q_json_repair,
         "windowed_counts": _q_windowed_counts,
         "semi_join": _q_semi_join,
@@ -2148,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _ORACLE_SIMHASH,
         "ivf_topk": _oracle_ivf(),
         "pq_topk": _oracle_pq(),
+        "ivfpq_topk": _oracle_ivfpq(),
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "json_repair": _ORACLE_JSON_REPAIR,
         "windowed_counts": _ORACLE_WINDOWED_COUNTS,

@@ -967,6 +967,29 @@ def pq_topk(
     )
 
 
+def _pq_dist_term_sql(src: str, nsrc: str, j: int, cent, dsub: int) -> str:
+    # mirror of _sub_l2_scored exactly: 1 + ||c||² − 2⟨v_sub,c⟩/n with
+    # ||c||² as the python left-fold literal (same IEEE order as the
+    # Spark aggregate) and the dot as a left-assoc sum
+    c2 = 0.0
+    for v in cent:
+        c2 = c2 + float(v) * float(v)
+    dot = " + ".join(
+        f"{src}[{j * dsub + i + 1}] * {float(cent[i])!r}" for i in range(dsub)
+    )
+    return f"round(1.0 + {c2!r} - 2.0 * ({dot}) / {nsrc}, 9)"
+
+
+def _pq_dlist_sql(books, dsub: int, src: str, nsrc: str, j: int) -> str:
+    return (
+        "["
+        + ", ".join(
+            _pq_dist_term_sql(src, nsrc, j, c, dsub) for c in books[j]
+        )
+        + "]"
+    )
+
+
 def pq_oracle_sql(
     parquet_path: str,
     dim: int,
@@ -1001,25 +1024,8 @@ def pq_oracle_sql(
         for j in range(m)
     ]
 
-    def dist_term(src: str, nsrc: str, j: int, cent) -> str:
-        # mirror of _sub_l2_scored exactly: 1 + ||c||² − 2⟨v_sub,c⟩/n
-        # with ||c||² as the python left-fold literal (same IEEE order as
-        # the Spark aggregate) and the dot as a left-assoc sum
-        c2 = 0.0
-        for v in cent:
-            c2 = c2 + float(v) * float(v)
-        dot = " + ".join(
-            f"{src}[{j * dsub + i + 1}] * {float(cent[i])!r}"
-            for i in range(dsub)
-        )
-        return f"round(1.0 + {c2!r} - 2.0 * ({dot}) / {nsrc}, 9)"
-
     def dlist(src: str, nsrc: str, j: int) -> str:
-        return (
-            "["
-            + ", ".join(dist_term(src, nsrc, j, c) for c in books[j])
-            + "]"
-        )
+        return _pq_dlist_sql(books, dsub, src, nsrc, j)
 
     ds_cols = ",\n         ".join(
         f"{dlist('v', 'n', j)} AS ds_{j}" for j in range(m)
@@ -1050,6 +1056,186 @@ WITH e AS (
 ), scored AS (
   SELECT qt.query_id, enc.vec_id, round({adc}, 6) AS adc_dist
   FROM enc CROSS JOIN qt WHERE enc.vec_id <> qt.query_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    codebooks,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS-style two-stage ANN: IVF coarse quantizer prunes
+    the scan to n_probe inverted lists, PQ-ADC scores the survivors as
+    m-byte codes. Composition of the two verified stages: the coarse
+    assignment/probing is ivf_topk's (rounded dots, ties → highest
+    centroid index, probe order (dot desc, index desc)), the fine
+    distance is pq_topk's (unit-sphere ADC, 9dp tables, fixed summation
+    order). Returns (query_id, vec_id, adc_dist, rk), rk by
+    (adc_dist asc, vec_id asc).
+
+    Scale shape: corpus rows carry ONLY (list_id, m bytes of codes) into
+    the probe join — at 10^12 vectors that is the difference between a
+    scan of codes (~TB) and a scan of raw vectors (~32x more); the query
+    side (probes × distance tables) is broadcast. PQ here quantizes the
+    unit vector directly (IVF-Flat-PQ); the classical residual encoding
+    is a refinement that changes WHAT the codebooks see, not the plan."""
+    cents = _centroids(dim, n_centroids) if centroids is None else centroids
+    prep_c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    c = prep_c.select(
+        "vec_id",
+        F.array_max(_centroid_scores_col(F.col("_v"), cents))["idx"].alias(
+            "list_id"
+        ),
+        pq_codes_col(F.col("_v"), F.col("_n"), codebooks).alias("codes"),
+    )
+    prep_q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    with_tabs = prep_q.select(
+        "query_id",
+        F.slice(
+            F.reverse(F.array_sort(_centroid_scores_col(F.col("_v"), cents))),
+            1,
+            n_probe,
+        ).alias("_probes"),
+        *[
+            F.transform(
+                _sub_l2_scored(F.col("_v"), F.col("_n"), cb, j),
+                lambda s: s["d"],
+            ).alias(f"_t{j}")
+            for j, cb in enumerate(codebooks)
+        ],
+    )
+    q = with_tabs.select(
+        "query_id",
+        F.explode_outer(
+            F.transform(F.col("_probes"), lambda p: p["idx"])
+        ).alias("list_id"),
+        *[f"_t{j}" for j in range(len(codebooks))],
+    )
+    adc = None
+    for j in range(len(codebooks)):
+        term = F.try_element_at(
+            F.col(f"_t{j}"), F.try_element_at(F.col("codes"), F.lit(j + 1)) + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(adc, 6))
+        .select("query_id", "vec_id", "adc_dist")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rk")
+    )
+
+
+def ivfpq_oracle_sql(
+    parquet_path: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    max_query_id: int = 10,
+    table: str = "embeddings",
+    sample_cap: int = 4096,
+    seed: int = config.SEED,
+) -> str:
+    """DuckDB SQL recomputing ivfpq_topk EXACTLY: both models retrained
+    here (spherical k-means for the coarse stage, normalized plain-L2
+    per-subspace k-means for PQ — the same shared numpy cores), coarse
+    assignment/probing replayed with the ivf_oracle_sql formulas and the
+    fine ADC with the pq_oracle_sql formulas."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    pdf = (
+        pd.read_parquet(parquet_path, columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(sample_cap)
+    )
+    x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    cents = kmeans_numpy(x, n_centroids, seed=seed)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dsub = dim // m
+    books = [
+        kmeans_l2_numpy(xn[:, j * dsub : (j + 1) * dsub], ksub, 10, seed + j)
+        for j in range(m)
+    ]
+    ivf_ds = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(float(vv)) for vv in c)
+        + "]), 9)"
+        for c in cents
+    )
+    idxs = ", ".join(str(i) for i in range(n_centroids))
+    ds_cols = ",\n         ".join(
+        f"{_pq_dlist_sql(books, dsub, 'v', 'n', j)} AS ds_{j}"
+        for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"list_position(ds_{j}, list_min(ds_{j})) - 1 AS c_{j}"
+        for j in range(m)
+    )
+    qt_cols = ",\n         ".join(
+        f"{_pq_dlist_sql(books, dsub, 'qv', 'qn', j)} AS t_{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(f"qt.t_{j}[enc.c_{j} + 1]" for j in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS n
+  FROM {table}
+), dots AS (
+  SELECT vec_id, v, n, [{ivf_ds}] AS ds FROM e
+), assigned AS (
+  SELECT vec_id, v, n,
+         {n_centroids} - list_position(list_reverse(ds), list_max(ds))
+           AS list_id
+  FROM dots
+), pqds AS (
+  SELECT vec_id, list_id, {ds_cols} FROM assigned
+), enc AS (
+  SELECT vec_id, list_id, {code_cols} FROM pqds
+), q_probe AS (
+  SELECT query_id, qv, qn, i AS list_id
+  FROM (SELECT vec_id AS query_id, v AS qv, n AS qn,
+               unnest(ds) AS d, unnest([{idxs}]) AS i
+        FROM dots WHERE vec_id < {max_query_id})
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d DESC, i DESC)
+          <= {n_probe}
+), qt AS (
+  SELECT query_id, list_id, {qt_cols} FROM q_probe
+), scored AS (
+  SELECT qt.query_id, enc.vec_id, round({adc}, 6) AS adc_dist
+  FROM enc JOIN qt ON enc.list_id = qt.list_id
+                  AND enc.vec_id <> qt.query_id
 ), ranked AS (
   SELECT query_id, vec_id, adc_dist,
          row_number() OVER (PARTITION BY query_id

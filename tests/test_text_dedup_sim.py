@@ -981,3 +981,54 @@ def test_unigram_surprisal_reference_and_partition_invariance(spark):
     b = sorted(map(tuple, unigram_surprisal(big.repartition(17)).collect()))
     release_persisted()
     assert a == b
+
+
+def test_ivfpq_planted_recall(spark):
+    """Two-stage IVF-PQ on planted near-copies: scaled/noisy twins land
+    in the same coarse list as their query (identical unit direction) and
+    ADC ranks them on top; deterministic across partitioning."""
+    import numpy as np
+
+    from bb_ocr_spark.operators.similarity import (
+        ivfpq_topk,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(11)
+    n_q, dim = 20, 64
+    qs = rng.randn(n_q, dim)
+    rows, qrows = [], []
+    vid = 1000
+    for i, base in enumerate(qs):
+        qrows.append((i, [float(v) for v in base]))
+        for _ in range(3):
+            rows.append(
+                (vid, [float(v) for v in base + 0.1 * rng.randn(dim)])
+            )
+            vid += 1
+    for _ in range(300):
+        rows.append((vid, [float(v) for v in rng.randn(dim)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+
+    cents = train_centroids(corpus, n_centroids=16)
+    books = train_pq_codebooks(corpus, dim=dim, m=8, ksub=16)
+    out = ivfpq_topk(
+        corpus, queries, dim=dim, codebooks=books, k=3, n_probe=4,
+        centroids=cents,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    planted = {i: {1000 + 3 * i, 1001 + 3 * i, 1002 + 3 * i} for i in range(n_q)}
+    hits = sum(len(planted[q] & got.get(q, set())) for q in planted)
+    recall = hits / (3 * n_q)
+    assert recall >= 0.8, recall
+
+    again = ivfpq_topk(
+        corpus.repartition(13), queries, dim=dim, codebooks=books, k=3,
+        n_probe=4, centroids=cents,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
