@@ -101,3 +101,30 @@ def test_mega_doc_paragraph_dedup_salted(spark):
     small = out["b_small"]
     assert small["n_kept"] == 1  # mega doc owns para[3]'s first occurrence
     assert small["text_dedup"] == "unique small paragraph"
+
+
+def test_substring_dedup_mega_doc(spark):
+    """Two copies of a 50k-token doc: the whole duplicate collapses to
+    ONE merged run and the gap-slicing rebuild stays linear (the
+    per-token exists form was O(tokens x runs) and the pre-merge form
+    O(tokens x starts) — either would crawl here)."""
+    import time
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.dedup import substring_dedup
+
+    mega = " ".join(f"m{i % 9973}x{i % 7}" for i in range(20_000))
+    df = spark.createDataFrame(
+        [(1, mega), (2, mega), (3, "tiny unrelated doc")],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    out = {r["doc_id"]: r for r in substring_dedup(df, k=20).collect()}
+    dt = time.monotonic() - t0
+    release_persisted()
+    assert out[1]["n_dup_tokens"] == 0           # keeper copy intact
+    assert out[2]["n_dup_tokens"] == 20_000      # duplicate fully removed
+    assert out[2]["n_dup_runs"] == 1             # one merged run
+    assert out[2]["text_dedup"] == ""
+    assert out[3]["n_dup_tokens"] == 0
+    assert dt < 90, dt                           # linear, not quadratic
