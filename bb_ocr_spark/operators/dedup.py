@@ -1030,19 +1030,22 @@ def top_repeated_kgrams(
     )
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # the top-N cut is orderBy().limit() — TakeOrderedAndProject keeps a
+    # local top_n per partition and merges only those, so the (possibly
+    # enormous) duplicated-gram population never flows through a single
+    # task; rk is assigned AFTER the cut, a window over top_n rows only
+    cut = stats.orderBy(
+        F.desc("n_total"), F.asc("keep.id"), F.asc("keep.pos")
+    ).limit(top_n)
     w = Window.orderBy(
         F.desc("n_total"), F.asc("keep.id"), F.asc("keep.pos")
     )
-    top = (
-        stats.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= top_n)
-        .select(
-            F.col("keep.id").alias("keeper_id"),
-            F.col("keep.pos").alias("keeper_pos"),
-            "n_total",
-            "n_docs",
-            "rk",
-        )
+    top = cut.withColumn("rk", F.row_number().over(w)).select(
+        F.col("keep.id").alias("keeper_id"),
+        F.col("keep.pos").alias("keeper_pos"),
+        "n_total",
+        "n_docs",
+        "rk",
     )
     return (
         top.join(base, top["keeper_id"] == base["id"])

@@ -42,16 +42,12 @@ def token_vocab(
         F.countDistinct("id").cast("long").alias("n_docs"),
     )
     if top_v is not None:
-        vocab = (
-            vocab.withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.orderBy(F.desc("n_total"), F.asc("token"))
-                ),
-            )
-            .filter(F.col("rk") <= top_v)
-            .drop("rk")
-        )
+        # orderBy().limit() compiles to TakeOrderedAndProject — each
+        # partition keeps its local top_v and only those merge, so the
+        # cut is distributed; a global row_number window would drag the
+        # ENTIRE vocabulary through one task (the WindowExec
+        # no-partition single-task trap)
+        vocab = vocab.orderBy(F.desc("n_total"), F.asc("token")).limit(top_v)
     return vocab
 
 
