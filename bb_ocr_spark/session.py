@@ -35,6 +35,14 @@ def get_spark(
         # bound Arrow batches so span-heavy docs fit executor memory
         # (reference analog: per-image downscale caps)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # snappy-compressed TEXT is tiny on disk but heavy per row: the
+        # default 128m split + 4m open-cost packed an 85 MB / 200k-doc
+        # corpus into TWO input partitions on 32 cores (measured 7x
+        # under-parallelism on the flagship extraction). 8m splits keep
+        # scan tasks CPU-bound instead of starved; at 100 TB with
+        # normal-sized files this simply yields more, still-large tasks
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "131072")
         # local mode = one JVM; heap must cover all N executor threads'
         # aggregation buffers (mega-doc collect_list spikes)
         .config("spark.driver.memory", os.environ.get("BB_OCR_DRIVER_MEM", "64g"))
