@@ -332,17 +332,13 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("n_tokens").withColumn("n_chars", F.col("n_chars").cast("bigint"))
 
 
-def _oracle_text_stats() -> str:
-    """Generated from the SAME language/script tables the Spark query
-    uses (functions/text.py LANG_MARKERS / SCRIPT_RANGES), so widening
-    either table can never desynchronize the oracle: 20-language marker
-    argmax (declaration-order tie-break) with a dominant-script
-    char-class fallback."""
-    from bb_ocr_spark.functions.text import (
-        LANG_MARKERS,
-        SCRIPT_RANGES,
-        STOPWORDS_EN,
-    )
+def _lang_sql_parts() -> tuple[str, str, str]:
+    """(hit_cols, script_cols, lang_case) generated from the SAME
+    language/script tables the Spark queries use (functions/text.py
+    LANG_MARKERS / SCRIPT_RANGES) — shared by the text_stats and
+    corpus_report oracles so widening either table can never
+    desynchronize them."""
+    from bb_ocr_spark.functions.text import LANG_MARKERS, SCRIPT_RANGES
 
     langs = list(LANG_MARKERS)
     hit_cols = ",\n    ".join(
@@ -374,6 +370,15 @@ def _oracle_text_stats() -> str:
         )
         + f" ELSE '{langs[-1]}' END"
     )
+    return hit_cols, script_cols, lang_case
+
+
+def _oracle_text_stats() -> str:
+    """20-language marker argmax (declaration-order tie-break) with the
+    dominant-script fallback; components from _lang_sql_parts."""
+    from bb_ocr_spark.functions.text import STOPWORDS_EN
+
+    hit_cols, script_cols, lang_case = _lang_sql_parts()
     stop_in = ", ".join("'" + w + "'" for w in STOPWORDS_EN)
     return rf"""
 WITH base AS (
@@ -1592,6 +1597,86 @@ WHERE rk <= 20
 """
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source quality dashboard composed from verified primitives;
+    # every column integer/exact so the report hashes identically at any
+    # parallelism
+    from bb_ocr_spark.plans.corpus_report import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
+def _oracle_corpus_report() -> str:
+    hit_cols, script_cols, lang_case = _lang_sql_parts()
+    return rf"""
+WITH base AS (
+  SELECT doc_id AS id, source, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum
+  FROM documents
+), hits AS (
+  SELECT *,
+    {hit_cols},
+    {script_cols},
+    len(toks) AS n_tok
+  FROM base
+), per_doc AS (
+  SELECT id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+         coalesce({lang_case}, '??') AS lang,
+         (n_tok >= 5
+          AND round(CASE WHEN n_tok > 0 THEN nonws / CAST(n_tok AS DOUBLE)
+                    ELSE 0.0 END, 4) >= 2.0
+          AND round(CASE WHEN n_tok > 0 THEN nonws / CAST(n_tok AS DOUBLE)
+                    ELSE 0.0 END, 4) <= 12.0
+          AND round(CASE WHEN nonws > 0 THEN alnum / CAST(nonws AS DOUBLE)
+                    ELSE 0.0 END, 4) >= 0.6) AS qk,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM hits
+), dupfp AS (
+  SELECT fp FROM per_doc GROUP BY fp HAVING count(*) > 1
+), tkn AS (
+  SELECT id, unnest(toks) AS token FROM base
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM tkn GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM vocab
+), lp AS (
+  SELECT id,
+         CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lpm
+  FROM tkn JOIN vocab USING (token) CROSS JOIN tot
+), surp AS (
+  SELECT id, CAST(sum(lpm) AS BIGINT) AS s FROM lp GROUP BY id
+), agg AS (
+  SELECT p.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN p.qk THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_kept,
+         CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dup_docs,
+         CAST(sum(coalesce(s.s, 0)) AS BIGINT) AS surprisal_micronats
+  FROM per_doc p
+  LEFT JOIN dupfp d ON d.fp = p.fp
+  LEFT JOIN surp s ON s.id = p.id
+  GROUP BY p.source
+), lc AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM per_doc GROUP BY source, lang
+), tl AS (
+  SELECT source, lang AS top_lang, n AS top_lang_docs FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, lang) AS rn
+    FROM lc) WHERE rn = 1
+)
+SELECT agg.source, n_docs, n_tokens, n_quality_kept, n_exact_dup_docs,
+       surprisal_micronats, top_lang, top_lang_docs
+FROM agg JOIN tl ON tl.source = agg.source
+"""
+
+
 def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-trained unigram-LM surprisal per doc (perplexity-filter
     # family); per-token surprisal quantized to integer micro-nats so
@@ -2190,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "boilerplate_kgrams": _q_boilerplate_kgrams,
         "unigram_surprisal": _q_unigram_surprisal,
+        "corpus_report": _q_corpus_report,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "decontam": _q_decontam,
@@ -2246,6 +2332,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _ORACLE_CHUNK_DOCS,
         "boilerplate_kgrams": _ORACLE_BOILERPLATE_KGRAMS,
         "unigram_surprisal": _ORACLE_UNIGRAM_SURPRISAL,
+        "corpus_report": _oracle_corpus_report(),
         "pii_scrub": _oracle_pii_scrub(),
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "decontam": _ORACLE_DECONTAM,

@@ -388,3 +388,36 @@ def test_incremental_curation_near_dup_state(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     for t in (f"{table}_buckets", f"{table}_sigs"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_report_reference(spark):
+    """Per-source dashboard on a hand-checkable corpus: counts, dup
+    docs (both copies), modal lang with deterministic ties, integer
+    surprisal totals identical at any partitioning."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.plans.corpus_report import corpus_report
+
+    rows = [
+        (1, "the quick fox and the dog in a field is that", "A"),
+        (2, "the quick fox and the dog in a field is that", "A"),  # dup
+        (3, "der Hund ist nicht mit der Katze und das Haus heute", "A"),
+        (4, "le chat est dans la maison pour les amis et la vie", "B"),
+        (5, "xx", "B"),  # fails quality (n_tok < 5), lang '??'
+        (6, "une maison dans les montagnes pour le chat et les amis", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in corpus_report(df).collect()}
+    release_persisted()
+    a, b = got["A"], got["B"]
+    assert a["n_docs"] == 3 and a["n_exact_dup_docs"] == 2
+    assert a["top_lang"] == "en" and a["top_lang_docs"] == 2
+    assert b["n_docs"] == 3 and b["n_exact_dup_docs"] == 0
+    assert b["top_lang"] == "fr" and b["top_lang_docs"] == 2
+    assert a["n_quality_kept"] == 3 and b["n_quality_kept"] == 2
+    assert a["n_tokens"] == 11 * 3 and b["n_tokens"] == 12 + 1 + 11
+
+    again = {r["source"]: r for r in corpus_report(df.repartition(7)).collect()}
+    release_persisted()
+    assert {s: tuple(r) for s, r in got.items()} == {
+        s: tuple(r) for s, r in again.items()
+    }
