@@ -1138,21 +1138,39 @@ WITH meta AS (
          nullif(trim(regexp_replace(regexp_replace(lower(coalesce(title, '')),
                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), '') AS o_title
   FROM offers
-), toks AS (
-  SELECT doc_id, listing_id, amount, currency, m_isbn, m_title, o_isbn, o_title,
+), me AS (
+  SELECT doc_id, m_isbn, m_title,
          list_distinct(list_filter(string_split(m_title, ' '),
-           x -> x NOT IN ('the','a','an','of','and','or','in','on','to'))) AS mt,
+           x -> x NOT IN ('the','a','an','of','and','or','in','on','to'))) AS mt
+  FROM m
+), oe AS (
+  SELECT listing_id, amount, currency, o_isbn, o_title,
          list_distinct(list_filter(string_split(o_title, ' '),
            x -> x NOT IN ('the','a','an','of','and','or','in','on','to'))) AS ot
-  FROM m, o
+  FROM o
+), hot AS (
+  -- the J4 generation cap: tokens whose combined meta+offer frequency
+  -- exceeds 1024 are dropped from candidate GENERATION only (the
+  -- operator's candidate_pairs_by_token max_df rule; Jaccard below is
+  -- still over the FULL token sets)
+  SELECT tok FROM (
+    SELECT unnest(mt) AS tok FROM me
+    UNION ALL SELECT unnest(ot) AS tok FROM oe)
+  GROUP BY tok HAVING count(*) > 1024
+), cand AS (
+  SELECT DISTINCT mx.doc_id, ox.listing_id
+  FROM (SELECT doc_id, unnest(mt) AS tok FROM me) mx
+  JOIN (SELECT listing_id, unnest(ot) AS tok FROM oe) ox USING (tok)
+  WHERE tok NOT IN (SELECT tok FROM hot)
 ), tiers AS (
-  SELECT doc_id, listing_id, amount, currency, 1 AS tier FROM toks
+  SELECT doc_id, listing_id, amount, currency, 1 AS tier FROM me, oe
   WHERE m_isbn IS NOT NULL AND o_isbn IS NOT NULL AND m_isbn = o_isbn
   UNION ALL
-  SELECT doc_id, listing_id, amount, currency, 2 FROM toks
+  SELECT doc_id, listing_id, amount, currency, 2 FROM me, oe
   WHERE m_title IS NOT NULL AND o_title IS NOT NULL AND m_title = o_title
   UNION ALL
-  SELECT doc_id, listing_id, amount, currency, 3 FROM toks
+  SELECT me.doc_id, oe.listing_id, amount, currency, 3
+  FROM me JOIN cand USING (doc_id) JOIN oe USING (listing_id)
   WHERE len(list_distinct(list_concat(mt, ot))) > 0
     AND len(list_intersect(mt, ot)) /
         CAST(len(list_distinct(list_concat(mt, ot))) AS DOUBLE) >= 0.5
