@@ -48,15 +48,24 @@ def corpus_report(
         t.alias("text"),
         tokens_col(t).alias("_toks"),
     )
-    per_doc = base.select(
-        "id",
-        "source",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.coalesce(
-            lang_guess_col(F.col("text"), toks=F.col("_toks")), F.lit("??")
-        ).alias("lang"),
-        quality_cols(F.col("text"), toks=F.col("_toks"))[6],  # quality_keep
-        fingerprint_md5_col(F.col("text")).alias("fp"),
+    from ..cache import track_persist  # noqa: PLC0415
+
+    # the per-doc signal projection (20-language argmax + quality ratios
+    # + fingerprint) feeds the dup-fp groupBy, the dup join, the source
+    # aggregate, AND the lang mode — no CSE across self-referencing
+    # branches, so persist or compute it 4x (production materializes the
+    # per-doc stats table for the same reason)
+    per_doc = track_persist(
+        base.select(
+            "id",
+            "source",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.coalesce(
+                lang_guess_col(F.col("text"), toks=F.col("_toks")), F.lit("??")
+            ).alias("lang"),
+            quality_cols(F.col("text"), toks=F.col("_toks"))[6],  # quality_keep
+            fingerprint_md5_col(F.col("text")).alias("fp"),
+        )
     )
     dup_fps = (
         per_doc.groupBy("fp")
