@@ -1032,3 +1032,55 @@ def test_ivfpq_planted_recall(spark):
         n_probe=4, centroids=cents,
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_round4_operators_degenerate_inputs(spark):
+    """Empty and single-row corpora through every round-4 operator:
+    graceful empty/identity results, no exceptions."""
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.functions.text import chunk_documents
+    from bb_ocr_spark.operators.dedup import (
+        substring_dedup,
+        top_repeated_kgrams,
+    )
+    from bb_ocr_spark.operators.packing import (
+        assign_shards_atomic,
+        materialize_shards,
+    )
+    from bb_ocr_spark.operators.search import (
+        bm25_topk,
+        token_vocab,
+        unigram_surprisal,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "solo doc here")], "doc_id long, text string")
+
+    assert substring_dedup(empty, k=3).count() == 0
+    solo = substring_dedup(one, k=3).first()
+    assert solo["n_dup_tokens"] == 0 and solo["text_dedup"] == "solo doc here"
+
+    assert top_repeated_kgrams(empty, k=3).count() == 0
+    assert top_repeated_kgrams(one, k=3).count() == 0  # nothing repeats
+
+    assert token_vocab(empty).count() == 0
+    assert unigram_surprisal(empty).count() == 0
+
+    q = spark.createDataFrame([(1, "zzz_nowhere")], "query_id long, query string")
+    assert bm25_topk(one, q, k=3).count() == 0  # no doc shares a term
+    q2 = spark.createDataFrame([(1, "solo")], "query_id long, query string")
+    hit = bm25_topk(one, q2, k=3).collect()
+    assert len(hit) == 1 and hit[0]["doc_id"] == 1
+
+    assert chunk_documents(empty).count() == 0
+
+    w_empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert assign_shards_atomic(w_empty, budget=10).count() == 0
+    w_one = spark.createDataFrame([(1, 3)], "doc_id long, n_tokens long")
+    a = assign_shards_atomic(w_one, budget=10).first()
+    assert a["shard_id"] == 0 and a["weight"] == 3
+    m = materialize_shards(
+        assign_shards_atomic(w_one, budget=10), one
+    ).first()
+    assert m["n_docs"] == 1 and m["text"] == "solo doc here"
+    release_persisted()
