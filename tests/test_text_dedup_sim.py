@@ -1084,3 +1084,42 @@ def test_round4_operators_degenerate_inputs(spark):
     ).first()
     assert m["n_docs"] == 1 and m["text"] == "solo doc here"
     release_persisted()
+
+
+def test_pq_code_budget_sizing(spark):
+    """The PQ knob measured, not assumed: with noisier planted twins,
+    doubling the subspace count (m=8 → m=16 ⇒ 32 → 64 bits/vector)
+    must not lose recall and typically gains it — the sizing rule a
+    corpus owner tunes against their recall target."""
+    import numpy as np
+
+    from bb_ocr_spark.operators.similarity import pq_topk, train_pq_codebooks
+
+    rng = np.random.RandomState(23)
+    n_q, dim = 15, 64
+    qs = rng.randn(n_q, dim)
+    rows, qrows = [], []
+    vid = 1000
+    for i, base in enumerate(qs):
+        qrows.append((i, [float(v) for v in base]))
+        for _ in range(3):
+            rows.append((vid, [float(v) for v in base + 0.45 * rng.randn(dim)]))
+            vid += 1
+    for _ in range(400):
+        rows.append((vid, [float(v) for v in rng.randn(dim)]))
+        vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+    planted = {i: {1000 + 3 * i, 1001 + 3 * i, 1002 + 3 * i} for i in range(n_q)}
+
+    def recall(m):
+        books = train_pq_codebooks(corpus, dim=dim, m=m, ksub=16)
+        got = {}
+        for r in pq_topk(corpus, queries, books, k=3).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(planted[q] & got.get(q, set())) for q in planted)
+        return hits / (3 * n_q)
+
+    r8, r16 = recall(8), recall(16)
+    assert r16 >= r8, (r8, r16)
+    assert r16 >= 0.6, (r8, r16)
