@@ -807,13 +807,17 @@ def _gram_occurrences_rolling(base: DataFrame, k: int) -> DataFrame:
     per gram after an O(n) prefix pass, the scale path when k is large
     (Lee et al. use k=50 — the expression form costs O(k) per token there).
 
-    Per doc: token hashes h_i (crc32), wrapping-mod-2^64 polynomial
-    prefix Q_i = sum h_j * B^-j, gram(s..s+k-1) = (Q_{s+k-1} - Q_{s-2})
-    * B^{s+k-2}; all numpy uint64 (unsigned wraps ARE mod-2^64
-    arithmetic). Hash values differ from the expr path by construction —
-    only gram EQUALITY matters, and both are collision-negligible at
-    64 bits. The python loop is per DOCUMENT (crc32 per token is the only
-    per-token python work); the polynomial algebra is vectorized."""
+    Per doc: 64-bit token hashes h_i (siphash via pd.util.hash_array,
+    C-vectorized), wrapping-mod-2^64 polynomial prefix Q_i = sum
+    h_j * B^-j, gram(s..s+k-1) = (Q_{s+k-1} - Q_{s-2}) * B^{s+k-2}; all
+    numpy uint64 (unsigned wraps ARE mod-2^64 arithmetic). Hash values
+    differ from the expr path by construction — only gram EQUALITY
+    matters, and both are collision-negligible at 64 bits per token
+    (an earlier crc32 variant was NOT: 32-bit per-token collisions are
+    certain past ~10^5 distinct tokens, and two colliding tokens make
+    distinct k-grams compare equal — a spurious removal the expr path's
+    per-token xxhash64 would never produce). No per-token python work
+    remains; the polynomial algebra is vectorized."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -822,19 +826,13 @@ def _gram_occurrences_rolling(base: DataFrame, k: int) -> DataFrame:
     BINV = np.uint64(pow(int(B), -1, 1 << 64))
 
     def gen(batches):
-        import zlib  # noqa: PLC0415
-
         for pdf in batches:
             ids, poss, gs = [], [], []
             for id_, toks in zip(pdf["id"], pdf["_tk"]):
                 n = len(toks)
                 if n < k:
                     continue
-                h = np.fromiter(
-                    (zlib.crc32(t.encode("utf-8")) for t in toks),
-                    dtype=np.uint64,
-                    count=n,
-                )
+                h = pd.util.hash_array(np.asarray(toks, dtype=object))
                 binv_pow = np.cumprod(np.full(n, BINV, dtype=np.uint64))
                 b_pow = np.cumprod(np.full(n, B, dtype=np.uint64))
                 # Q[j] = sum_{m<=j} h[m]·Binv^{m+1} (wraps = mod 2^64), so

@@ -14,13 +14,102 @@ replays the exact top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+class BM25Index(NamedTuple):
+    """The four relations BM25 scoring needs, decoupled from the corpus:
+    once built (or read back from disk) no query ever touches the
+    document text again — a real search workload amortizes the one
+    corpus scan across every query batch."""
+
+    postings: DataFrame  # (id, token, tf)
+    doc_len: DataFrame  # (id, dl)
+    df_tok: DataFrame  # (token, df)
+    stats: DataFrame  # 1 row: (n_corpus, avgdl)
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
+) -> BM25Index:
+    """One corpus scan -> reusable BM25 index. Tokenization is the
+    expensive step and the plan self-references it three ways (postings,
+    doc lengths, and through postings again for df) — Spark does not CSE
+    across self-referencing plans, so the token projection AND the
+    postings are persisted (cache.track_persist) to run once; this is
+    also the fix for feeding several bm25_topk calls without re-scanning.
+
+    Scale shape: postings are one explode + map-side-combined groupBy on
+    (id, token); df is a second groupBy on token over the (much smaller)
+    postings; stats is a scalar aggregate. Everything downstream of the
+    scan shuffles 8-byte-ish keyed rows, never document text."""
+    from ..cache import track_persist  # noqa: PLC0415
+
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_tk")
+    )
+    if persist:
+        base = track_persist(base)
+    exploded = base.select(
+        "id", F.explode_outer(F.col("_tk")).alias("token")
+    ).filter(F.col("token").isNotNull())
+    postings = exploded.groupBy("id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    if persist:
+        postings = track_persist(postings)
+    doc_len = base.select("id", F.size("_tk").cast("long").alias("dl"))
+    stats = doc_len.agg(
+        F.count("*").cast("long").alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_tok = postings.groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return BM25Index(postings, doc_len, df_tok, stats)
+
+
+_INDEX_PARTS = ("postings", "doc_len", "df_tok", "stats")
+
+
+def write_bm25_index(index: BM25Index, path: str) -> None:
+    """Materialize the index as four parquet dirs. Postings and df are
+    hash-clustered on token before the write so a reader's token-keyed
+    joins start from token-clustered files (the parquet analog of a
+    bucketed table — real bucketing metadata needs a catalog/warehouse,
+    which this image lacks); doc_len clusters on id for the same reason."""
+    index.postings.repartition(F.col("token")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "postings"))
+    index.doc_len.repartition(F.col("id")).write.mode("overwrite").parquet(
+        os.path.join(path, "doc_len")
+    )
+    index.df_tok.repartition(F.col("token")).write.mode("overwrite").parquet(
+        os.path.join(path, "df_tok")
+    )
+    index.stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "stats")
+    )
+
+
+def read_bm25_index(spark: SparkSession, path: str) -> BM25Index:
+    """The read side of write_bm25_index: BM25 over a corpus whose index
+    is on disk never scans (or even references) the corpus table."""
+    return BM25Index(
+        *[spark.read.parquet(os.path.join(path, p)) for p in _INDEX_PARTS]
+    )
 
 
 def token_vocab(
@@ -52,7 +141,7 @@ def token_vocab(
 
 
 def bm25_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     k1: float = BM25_K1,
@@ -61,6 +150,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query",
+    index: BM25Index | None = None,
 ) -> DataFrame:
     """Top-k docs per query under BM25:
 
@@ -70,6 +160,12 @@ def bm25_topk(
     Returns (query_id, doc_id, score, rk) with rk 1..k per query, ranked
     by (score desc, doc_id asc).
 
+    Pass `index` (build_bm25_index / read_bm25_index) to amortize the
+    corpus scan across query batches — scoring over a prebuilt index
+    never references the document table; with `index=None` an ephemeral
+    one is built from `docs` (persisted, so the scan still runs once
+    within this call).
+
     Scale shape: postings (id, token, tf) are one explode + groupBy —
     the only corpus-sized shuffles are on the token key; doc lengths ride
     along via a groupBy on id. N and avglen are scalar aggregates
@@ -77,23 +173,9 @@ def bm25_topk(
     the postings join, so the corpus never reshuffles per query set; the
     final top-k is a window over candidate (query, doc) pairs — only
     docs sharing at least one query term, not the corpus."""
-    base = docs.select(
-        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_tk")
-    )
-    exploded = base.select(
-        "id", F.explode_outer(F.col("_tk")).alias("token")
-    ).filter(F.col("token").isNotNull())
-    postings = exploded.groupBy("id", "token").agg(
-        F.count("*").cast("long").alias("tf")
-    )
-    doc_len = base.select("id", F.size("_tk").cast("long").alias("dl"))
-    stats = doc_len.agg(
-        F.count("*").cast("long").alias("n_corpus"),
-        F.avg("dl").alias("avgdl"),
-    )
-    df_tok = postings.groupBy("token").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    if index is None:
+        index = build_bm25_index(docs, id_col=id_col, text_col=text_col)
+    postings, doc_len, df_tok, stats = index
     qterms = (
         queries.select(
             F.col(query_id_col).alias("qid"),

@@ -1278,7 +1278,14 @@ def train_residual_codebooks(
     )
     x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
     u = x / np.linalg.norm(x, axis=1, keepdims=True)
-    assign = (u @ np.asarray(centroids).T).argmax(axis=1)
+    # mirror the RUNTIME coarse rule (_centroid_scores_col + array_max):
+    # dots rounded to 9 decimals, ties -> HIGHEST centroid index. numpy's
+    # plain argmax breaks ties toward the lowest index, which would train
+    # a tied vector's residual against a different centroid than the one
+    # the encoder later assigns it to; argmax over the reversed columns
+    # flips the tie rule to match.
+    dots = np.round(u @ np.asarray(centroids).T, 9)
+    assign = dots.shape[1] - 1 - dots[:, ::-1].argmax(axis=1)
     r = u - np.asarray(centroids)[assign]
     dsub = dim // m
     return [

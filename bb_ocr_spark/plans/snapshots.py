@@ -9,7 +9,9 @@ image lacks — `sources.tables.have_iceberg` gates the real binding):
     <output_dir>/snapshots/snap-<n>.json   immutable manifest: run_ids,
                                            parent, counts, checksum, ts
                                            (published via os.link —
-                                           create-exclusive CAS)
+                                           create-exclusive CAS; no-link
+                                           mounts: O_EXCL reservation +
+                                           atomic os.replace publish)
     <output_dir>/snapshots/CURRENT         human-readable hint; readers
                                            resolve the max manifest
 
@@ -66,9 +68,59 @@ def _latest_manifest(output_dir: str) -> dict | None:
     ]
     if not snaps:
         return None
-    latest = max(snaps, key=lambda n: int(n[len("snap-"):-len(".json")]))
-    with open(os.path.join(d, latest)) as f:
-        return json.load(f)
+    # Descending by id, skipping unparsable entries: on the no-hardlink
+    # fallback path the max file can transiently be an empty O_EXCL
+    # reservation (bytes land via os.replace an instant later) or, after
+    # a reserver crash, a dead zero-byte file until a later committer
+    # takes it over — either way the previous manifest is the committed
+    # state and the reader must not wedge on the torn one.
+    for name in sorted(
+        snaps, key=lambda n: int(n[len("snap-"):-len(".json")]), reverse=True
+    ):
+        try:
+            with open(os.path.join(d, name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+def _publish_without_link(tmp: str, final: str) -> bool:
+    """Publish `tmp` as `final` on filesystems without hard links.
+
+    Two-step: (1) reserve the snapshot id with an EMPTY O_CREAT|O_EXCL
+    file — the create-exclusive race arbiter, zero payload bytes; then
+    (2) land the already-fully-written tmp with os.replace, which is
+    atomic, so the manifest is either absent/empty or complete — never
+    truncated (the previous fallback json.dump'ed into the live file,
+    and a crash mid-write wedged the chain permanently: every later
+    committer saw the file exist, treated it as a lost race, and
+    re-read an unparsable manifest forever).
+
+    If the reservation already exists it is either a committed manifest
+    (parsable → genuine lost race → False) or another committer's
+    in-flight/dead reservation (unparsable). In-flight resolves in the
+    microseconds between its reserve and replace, so wait briefly; a
+    reservation still empty after the grace window means the reserver
+    died between the two steps — adopt it via os.replace. A takeover
+    that races the not-actually-dead reserver is resolved by the
+    caller's read-back verification (both publishes are complete
+    manifests; whoever's bytes survive wins, the other retries), so a
+    commit can be delayed by a crash but not lost or torn."""
+    try:
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        for _ in range(20):  # ~2s grace for an in-flight publisher
+            try:
+                with open(final) as f:
+                    json.load(f)
+                return False  # complete manifest — we lost the id race
+            except (OSError, ValueError):
+                time.sleep(0.1)
+        # dead reservation — adopt it (see docstring for the race story)
+    os.replace(tmp, final)
+    return True
 
 
 def commit_snapshot(
@@ -117,15 +169,26 @@ def commit_snapshot(
             continue  # lost the race — rebuild against the new parent
         except OSError:
             # filesystem without hard links (some object-store mounts:
-            # EPERM/ENOTSUP) — O_CREAT|O_EXCL open is the same
-            # create-exclusive CAS, minus link's stronger NFS atomicity
-            try:
-                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                os.unlink(tmp)
+            # EPERM/ENOTSUP) — see _publish_without_link. The O_EXCL open
+            # there is ONLY the id reservation; the bytes always arrive
+            # via an atomic os.replace of the fully-written tmp, so no
+            # reader or crash ever observes a truncated live manifest.
+            if not _publish_without_link(tmp, final):
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
                 continue  # lost the race — rebuild against the new parent
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
+            # replace is publish-atomic but not compare-and-swap: a
+            # takeover race (another committer adopting what looked like
+            # a dead reservation) can overwrite this publish. Verify the
+            # landed bytes carry our run_id; if not, we lost — retry on
+            # the new parent, so no commit is ever silently dropped.
+            try:
+                with open(final) as f:
+                    landed = json.load(f)
+            except (OSError, ValueError):
+                landed = None
+            if not landed or run_id not in landed["run_ids"]:
+                continue
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -189,6 +189,80 @@ def test_commit_snapshot_concurrent_cas(tmp_path):
     assert cur["n_docs_total"] == n_threads * per_thread
 
 
+def test_commit_snapshot_no_link_fallback_concurrent(tmp_path, monkeypatch):
+    # same CAS contract on a filesystem without hard links (object-store
+    # mounts raising EPERM): the O_EXCL reservation + os.replace publish
+    # must not mint duplicate ids or lose a commit either
+    import errno
+    import threading
+
+    from bb_ocr_spark.plans import snapshots
+
+    monkeypatch.setattr(
+        snapshots.os,
+        "link",
+        lambda *a, **k: (_ for _ in ()).throw(
+            OSError(errno.EPERM, "Operation not permitted")
+        ),
+    )
+    out = str(tmp_path / "tbl")
+    n_threads, per_thread = 8, 5
+    errs = []
+
+    def worker(t):
+        try:
+            for i in range(per_thread):
+                snapshots.commit_snapshot(
+                    out, f"run-{t}-{i}", n_docs=1, checksum=t * 100 + i
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    cur = snapshots.current_snapshot(out)
+    want = {f"run-{t}-{i}" for t in range(n_threads) for i in range(per_thread)}
+    assert set(cur["run_ids"]) == want, "a concurrent commit was lost"
+    assert cur["snapshot_id"] == n_threads * per_thread
+
+
+def test_commit_snapshot_no_link_torn_publish_recovers(tmp_path, monkeypatch):
+    # a reserver that died between its O_EXCL reserve and its os.replace
+    # leaves an EMPTY max snap file: readers must fall back to the last
+    # complete manifest, and the next committer must adopt the dead
+    # reservation instead of wedging the chain forever
+    import errno
+    import os
+
+    from bb_ocr_spark.plans import snapshots
+
+    monkeypatch.setattr(
+        snapshots.os,
+        "link",
+        lambda *a, **k: (_ for _ in ()).throw(
+            OSError(errno.ENOTSUP, "Operation not supported")
+        ),
+    )
+    out = str(tmp_path / "tbl")
+    m1 = snapshots.commit_snapshot(out, "run-1", 1, 11)
+    assert m1["snapshot_id"] == 1
+    # simulate the dead reservation: empty snap-2 (crash between steps)
+    dead = os.path.join(out, "snapshots", "snap-000002.json")
+    open(dead, "w").close()
+    # reader view: torn max manifest is invisible, snap-1 is current
+    assert snapshots.current_snapshot(out)["snapshot_id"] == 1
+    # committer view: adopts the dead id after the grace window
+    m2 = snapshots.commit_snapshot(out, "run-2", 1, 22)
+    assert m2["snapshot_id"] == 2
+    cur = snapshots.current_snapshot(out)
+    assert cur["snapshot_id"] == 2
+    assert cur["run_ids"] == ["run-1", "run-2"]
+
+
 def test_commit_snapshot_replay_idempotent(tmp_path):
     from bb_ocr_spark.plans.snapshots import commit_snapshot, current_snapshot
 

@@ -832,6 +832,62 @@ def test_bm25_against_python_reference(spark):
     assert got == want
 
 
+def test_bm25_index_reuse_and_no_corpus_rescan(spark, tmp_path):
+    """A materialized index amortizes the corpus scan: two query sets
+    over ONE built index equal two fresh calls, and the plan over an
+    index read back from disk never references the corpus table."""
+    from bb_ocr_spark.operators.search import (
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry date"),
+        (3, "apple apple apple"),
+        (4, "cherry date elderberry fig"),
+        (5, "unrelated words only here"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        corpus_dir
+    )
+    corpus = spark.read.parquet(corpus_dir)
+    qa = spark.createDataFrame(
+        [(10, "apple cherry"), (20, "date")], "query_id long, query string"
+    )
+    qb = spark.createDataFrame(
+        [(30, "banana fig"), (40, "elderberry")], "query_id long, query string"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["doc_id"], r["score"], r["rk"])
+            for r in df.collect()
+        )
+
+    idx = build_bm25_index(corpus)
+    assert rows(bm25_topk(None, qa, k=3, index=idx)) == rows(
+        bm25_topk(corpus, qa, k=3)
+    )
+    assert rows(bm25_topk(None, qb, k=3, index=idx)) == rows(
+        bm25_topk(corpus, qb, k=3)
+    )
+
+    idx_dir = str(tmp_path / "bm25_index")
+    write_bm25_index(idx, idx_dir)
+    disk = read_bm25_index(spark, idx_dir)
+    out = bm25_topk(None, qa, k=3, index=disk)
+    assert rows(out) == rows(bm25_topk(corpus, qa, k=3))
+    # the executed plan over the on-disk index must not scan the corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # path-anchored: the scalar column is NAMED n_corpus, only the corpus
+    # table's scan path would contain "/corpus"
+    assert "/corpus" not in plan and "bm25_index" in plan
+
+
 def test_token_vocab_truncation_and_ties(spark):
     from bb_ocr_spark.operators.search import token_vocab
 
