@@ -240,11 +240,19 @@ LEFT JOIN (SELECT o_custkey, o_orderpriority, o_totalprice
 
 
 def _q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # W2/W3: per-user running sum + sequence numbers over event time
+    # W2/W3 + F7 in ONE window scan: sequence numbers, running sum,
+    # inter-event gap, and lead — the former running_window and lag_lead
+    # driver queries merged into one gate slot (the driver verifies only
+    # the first 50 queries() entries; same operators, and the merged form
+    # is the better plan anyway: one sort-shuffle instead of two)
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session
+    # makes the cast an identity)
+    ts = F.col("ts").cast("timestamp")
+    prev = F.lag(ts).over(w)
     return e.select(
         "event_id",
         "user_id",
@@ -252,16 +260,21 @@ def _q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_value"),
+        (F.unix_micros(ts) - F.unix_micros(prev)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
     )
 
 
 _ORACLE_RUNNING_WINDOW = """
 SELECT event_id, user_id,
-       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       row_number() OVER w AS seq,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-         AS running_value
+         AS running_value,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+       lead(event_id) OVER w AS next_event_id
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
@@ -283,7 +296,12 @@ SELECT DISTINCT user_id FROM (
 
 
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F4/F1: JSON field extraction + regex fallback (U8 repair analog)
+    # F4/F1: JSON field extraction + regex fallback (U8 repair analog).
+    # RETIRED from the driver gate (50-slot budget): both operators stay
+    # driver-verified through json_repair (F4: get_json_object over the
+    # repaired payload) and extract_metadata_full (F1: the full regex
+    # battery); pytest still runs this query against _ORACLE_JSON_EXTRACT
+    # via tools/check_oracle.py's EXTRA_QUERIES.
     e = _t(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -623,33 +641,6 @@ FROM events GROUP BY event_type
 """
 
 
-def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sessionization primitive: per-user inter-event gap in seconds
-    from pyspark.sql import Window
-
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session
-    # makes the cast an identity)
-    ts = F.col("ts").cast("timestamp")
-    prev = F.lag(ts).over(w)
-    return e.select(
-        "event_id",
-        "user_id",
-        (F.unix_micros(ts) - F.unix_micros(prev)).alias("gap_us"),
-        F.lead("event_id").over(w).alias("next_event_id"),
-    )
-
-
-_ORACLE_LAG_LEAD = """
-SELECT event_id, user_id,
-       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
-       lead(event_id) OVER w AS next_event_id
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
-
 def _ivf_model_dir() -> str:
     """Canonical corpus for the IVF centroid MODEL, shared by the Spark
     query and the SQL-oracle generator. Pinning the model to ONE dir
@@ -704,6 +695,32 @@ def _books_for(model_dir: str):
     dsub = 64 // 8
     return [
         kmeans_l2_numpy(x[:, j * dsub : (j + 1) * dsub], 16, 10, C.SEED + j)
+        for j in range(8)
+    ]
+
+
+@functools.lru_cache(maxsize=8)
+def _res_books_for(model_dir: str):
+    """Residual PQ codebooks for a model dir, trained once per process —
+    the pyarrow twin of train_residual_codebooks: unit-normalized sorted
+    sample, coarse-assigned with the runtime rule (9dp-rounded dots,
+    ties -> highest centroid), residuals quantized per-subspace with
+    plain-L2 k-means. Bit-identical to ivfpq_residual_oracle_sql's
+    training, so both engines carry the same shifted codebooks."""
+    import numpy as np  # noqa: PLC0415
+
+    from bb_ocr_spark import config as C  # noqa: PLC0415
+    from bb_ocr_spark.operators.similarity import kmeans_l2_numpy
+
+    x = _model_sample(model_dir)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = _cents_for(model_dir)
+    dots = np.round(u @ cents.T, 9)
+    assign = dots.shape[1] - 1 - dots[:, ::-1].argmax(axis=1)
+    r = u - cents[assign]
+    dsub = 64 // 8
+    return [
+        kmeans_l2_numpy(r[:, j * dsub : (j + 1) * dsub], 16, 10, C.SEED + j)
         for j in range(8)
     ]
 
@@ -775,6 +792,35 @@ def _oracle_ivfpq() -> str:
     from bb_ocr_spark.operators.similarity import ivfpq_oracle_sql
 
     return ivfpq_oracle_sql(
+        os.path.join(_ivf_model_dir(), "embeddings.parquet"),
+        dim=64, m=8, ksub=16, k=5, n_centroids=16, n_probe=4,
+        max_query_id=10,
+    )
+
+
+def _q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classical IVFADC: PQ codebooks trained on COARSE RESIDUALS, ADC
+    # against per-list shifted codebooks — strictly finer quantization
+    # than ivfpq_topk's direct encoding at the same bit budget; models
+    # train on the canonical dir in both engines (the ivf_topk rule)
+    from bb_ocr_spark.operators.similarity import ivfpq_topk_residual
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivfpq_topk_residual(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        dim=64,
+        centroids=_cents_for(_ivf_model_dir()),
+        residual_books=_res_books_for(_ivf_model_dir()),
+        k=5,
+        n_probe=4,
+    )
+
+
+def _oracle_ivfpq_residual() -> str:
+    from bb_ocr_spark.operators.similarity import ivfpq_residual_oracle_sql
+
+    return ivfpq_residual_oracle_sql(
         os.path.join(_ivf_model_dir(), "embeddings.parquet"),
         dim=64, m=8, ksub=16, k=5, n_centroids=16, n_probe=4,
         max_query_id=10,
@@ -2134,7 +2180,12 @@ SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
 
 
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # domain-weighted data mixing: per-source key-stable subsampling
+    # domain-weighted data mixing: per-source key-stable subsampling.
+    # RETIRED from the driver gate (50-slot budget): the gated semantics
+    # are a strict subset of source_mix_epochs (mix_sources_with_repeats
+    # applies the identical key-stable hash-bucket rule for every
+    # fractional weight, plus upsampling); still locally gated via
+    # tools/check_oracle.py's EXTRA_QUERIES.
     from bb_ocr_spark.functions.sampling import mix_sources
 
     weights = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
@@ -2259,7 +2310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_merge": _q_coalesce_merge,
         "running_window": _q_running_window,
         "union_dedup": _q_union_dedup,
-        "json_extract": _q_json_extract,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -2269,12 +2319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
+        "ivfpq_residual_topk": _q_ivfpq_residual,
         "json_repair": _q_json_repair,
         "windowed_counts": _q_windowed_counts,
         "semi_join": _q_semi_join,
         "min_by": _q_min_by,
         "percentiles": _q_percentiles,
-        "lag_lead": _q_lag_lead,
         "extract_metadata_full": _q_extract_metadata_full,
         "currency_parse": _q_currency_parse,
         "parse_offers": _q_parse_offers,
@@ -2300,7 +2350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_dedup": _q_host_dedup,
         "dup_clusters": _q_dup_clusters,
         "substring_dedup": _q_substring_dedup,
-        "source_mix": _q_source_mix,
         "source_mix_epochs": _q_source_mix_epochs,
     }
 
@@ -2316,7 +2365,6 @@ def oracle_sql() -> dict[str, str]:
         "coalesce_merge": _ORACLE_COALESCE_MERGE,
         "running_window": _ORACLE_RUNNING_WINDOW,
         "union_dedup": _ORACLE_UNION_DEDUP,
-        "json_extract": _ORACLE_JSON_EXTRACT,
         "text_stats": _oracle_text_stats(),
         "exact_dedup": _ORACLE_EXACT_DEDUP,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
@@ -2325,13 +2373,13 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _oracle_ivf(),
         "pq_topk": _oracle_pq(),
         "ivfpq_topk": _oracle_ivfpq(),
+        "ivfpq_residual_topk": _oracle_ivfpq_residual(),
         "embedding_topk": _ORACLE_EMBEDDING_TOPK,
         "json_repair": _ORACLE_JSON_REPAIR,
         "windowed_counts": _ORACLE_WINDOWED_COUNTS,
         "semi_join": _ORACLE_SEMI_JOIN,
         "min_by": _ORACLE_MIN_BY,
         "percentiles": _ORACLE_PERCENTILES,
-        "lag_lead": _ORACLE_LAG_LEAD,
         "extract_metadata_full": _oracle_metadata_full(),
         "currency_parse": _oracle_currency_parse(),
         "parse_offers": _oracle_parse_offers(),
@@ -2357,6 +2405,26 @@ def oracle_sql() -> dict[str, str]:
         "host_dedup": _ORACLE_HOST_DEDUP,
         "dup_clusters": _ORACLE_DUP_CLUSTERS,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
-        "source_mix": _oracle_source_mix(),
         "source_mix_epochs": _oracle_source_mix_epochs(),
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-gated queries RETIRED from the driver's 50-slot window
+    (CORRECTNESS_r04 verified only the first 50 queries() entries, so
+    the suite now budgets exactly 50). These stay green through the
+    builder's local gate (tools/check_oracle.py runs queries() +
+    extra_queries()); their operators remain driver-verified elsewhere:
+    json_extract via json_repair/extract_metadata_full, lag_lead via the
+    merged running_window, source_mix via source_mix_epochs."""
+    return {
+        "json_extract": _q_json_extract,
+        "source_mix": _q_source_mix,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {
+        "json_extract": _ORACLE_JSON_EXTRACT,
+        "source_mix": _oracle_source_mix(),
     }

@@ -1456,3 +1456,155 @@ def ivfpq_topk_residual(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", "adc_dist", "rk")
     )
+
+
+def ivfpq_residual_oracle_sql(
+    parquet_path: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    max_query_id: int = 10,
+    table: str = "embeddings",
+    sample_cap: int = 4096,
+    seed: int = config.SEED,
+) -> str:
+    """DuckDB SQL recomputing ivfpq_topk_residual EXACTLY: retrains the
+    coarse centroids and the RESIDUAL codebooks here (same numpy cores,
+    same sorted sample, same runtime-mirrored assignment tie rule), then
+    replays coarse assignment/probing with the ivf formulas and the fine
+    ADC against the per-list SHIFTED codebooks (c' = cent_l_sub +
+    book_c, exactly _shifted_books' float64 sums).
+
+    Unlike pq/ivfpq's unrolled per-term SQL, the shifted model is
+    n_centroids x larger (one codebook variant per list), so the
+    literals ship as one 3-level DOUBLE[][][] per subspace in a 1-row
+    CTE and the distance lists are built with list_transform +
+    list_dot_product — the same left-fold IEEE order (the norm column
+    already relies on list_dot_product/aggregate fold parity), keeping
+    the SQL ~x00 KB instead of ~MBs of expanded products."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    pdf = (
+        pd.read_parquet(parquet_path, columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(sample_cap)
+    )
+    x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    cents = kmeans_numpy(x, n_centroids, seed=seed)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    # train_residual_codebooks' assignment: rounded dots, ties -> highest
+    dots = np.round(u @ cents.T, 9)
+    assign = dots.shape[1] - 1 - dots[:, ::-1].argmax(axis=1)
+    r = u - cents[assign]
+    dsub = dim // m
+    books = [
+        kmeans_l2_numpy(r[:, j * dsub : (j + 1) * dsub], ksub, 10, seed + j)
+        for j in range(m)
+    ]
+
+    def fold_c2(c) -> float:
+        acc = 0.0
+        for v in c:
+            acc = acc + float(v) * float(v)
+        return acc
+
+    b_lits, c2_lits = [], []
+    for j in range(m):
+        shifted_j = [
+            [cents[lst, j * dsub : (j + 1) * dsub] + c for c in books[j]]
+            for lst in range(n_centroids)
+        ]
+        b_lits.append(
+            "CAST(["
+            + ", ".join(
+                "[" + ", ".join(
+                    "[" + ", ".join(repr(float(v)) for v in c) + "]"
+                    for c in per_list
+                ) + "]"
+                for per_list in shifted_j
+            )
+            + "] AS DOUBLE[][][])"
+        )
+        c2_lits.append(
+            "CAST(["
+            + ", ".join(
+                "[" + ", ".join(repr(fold_c2(c)) for c in per_list) + "]"
+                for per_list in shifted_j
+            )
+            + "] AS DOUBLE[][])"
+        )
+    blit_cols = ",\n         ".join(
+        f"{b_lits[j]} AS b_{j}, {c2_lits[j]} AS c2_{j}" for j in range(m)
+    )
+
+    def dist_list(src: str, nsrc: str, list_expr: str, j: int) -> str:
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        return (
+            f"list_transform(b_{j}[{list_expr} + 1], (c, i) -> "
+            f"round(1.0 + c2_{j}[{list_expr} + 1][i] - "
+            f"2.0 * list_dot_product({src}[{lo}:{hi}], c) / {nsrc}, 9))"
+        )
+
+    ivf_ds = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(float(vv)) for vv in c)
+        + "]), 9)"
+        for c in cents
+    )
+    idxs = ", ".join(str(i) for i in range(n_centroids))
+    ds_cols = ",\n         ".join(
+        f"{dist_list('v', 'n', 'list_id', j)} AS ds_{j}" for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"list_position(ds_{j}, list_min(ds_{j})) - 1 AS c_{j}"
+        for j in range(m)
+    )
+    qt_cols = ",\n         ".join(
+        f"{dist_list('qv', 'qn', 'list_id', j)} AS t_{j}" for j in range(m)
+    )
+    adc = " + ".join(f"qt.t_{j}[enc.c_{j} + 1]" for j in range(m))
+    return f"""
+WITH blit AS (
+  SELECT {blit_cols}
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS n
+  FROM {table}
+), dots AS (
+  SELECT vec_id, v, n, [{ivf_ds}] AS ds FROM e
+), assigned AS (
+  SELECT vec_id, v, n,
+         {n_centroids} - list_position(list_reverse(ds), list_max(ds))
+           AS list_id
+  FROM dots
+), pqds AS (
+  SELECT vec_id, list_id, {ds_cols} FROM assigned CROSS JOIN blit
+), enc AS (
+  SELECT vec_id, list_id, {code_cols} FROM pqds
+), q_probe AS (
+  SELECT query_id, qv, qn, i AS list_id
+  FROM (SELECT vec_id AS query_id, v AS qv, n AS qn,
+               unnest(ds) AS d, unnest([{idxs}]) AS i
+        FROM dots WHERE vec_id < {max_query_id})
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d DESC, i DESC)
+          <= {n_probe}
+), qt AS (
+  SELECT query_id, list_id, {qt_cols} FROM q_probe CROSS JOIN blit
+), scored AS (
+  SELECT qt.query_id, enc.vec_id, round({adc}, 6) AS adc_dist
+  FROM enc JOIN qt ON enc.list_id = qt.list_id
+                  AND enc.vec_id <> qt.query_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {k}
+"""

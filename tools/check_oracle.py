@@ -1,6 +1,8 @@
 """Local replica of the driver's correctness gate.
 
-Runs every __spark_entry__.queries() entry at sf0.01 and compares against
+Runs every __spark_entry__.queries() AND extra_queries() entry (the
+latter are retired from the driver's 50-slot window but stay gated here)
+at sf0.01 and compares against
 its oracle_sql() via DuckDB: row count, column names, and order-insensitive
 per-column values (sorted-by-name columns, stringified, sorted rows).
 
@@ -40,7 +42,10 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    qs, oracles = E.queries(), E.oracle_sql()
+    qs, oracles = dict(E.queries()), dict(E.oracle_sql())
+    # retired-from-driver-window queries stay locally gated
+    qs.update(E.extra_queries())
+    oracles.update(E.extra_oracle_sql())
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
