@@ -907,6 +907,14 @@ def substring_dedup(
         if method == "rolling"
         else _gram_occurrences_expr(base, k)
     )
+    flagged = _flagged_batch_occurrences(occ)
+    return _excise_flagged_starts(base, flagged, k, id_col)
+
+
+def _flagged_batch_occurrences(occ: DataFrame) -> DataFrame:
+    """(id, pos) of every gram occurrence to remove under the WITHIN-
+    corpus rule: grams occurring >= 2 times lose every occurrence except
+    the globally first (minimum (id, pos))."""
     stats = (
         occ.groupBy("g")
         .agg(
@@ -916,7 +924,7 @@ def substring_dedup(
         .filter(F.col("cnt") >= 2)
         .select("g", "keep")
     )
-    flagged = (
+    return (
         occ.join(stats, "g")
         .filter(
             ~(
@@ -926,6 +934,14 @@ def substring_dedup(
         )
         .select("id", "pos")
     )
+
+
+def _excise_flagged_starts(
+    base: DataFrame, flagged: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Merge flagged k-gram start positions into maximal covered runs and
+    rebuild each doc's surviving text by slicing the gaps between runs —
+    the shared finish of substring_dedup and its incremental variant."""
     starts = flagged.groupBy("id").agg(
         F.array_sort(F.collect_list("pos")).alias("_ss")
     )
@@ -988,6 +1004,63 @@ def substring_dedup(
         F.size("_runs").cast("long").alias("n_dup_runs"),
         F.array_join("_kept", " ").alias("text_dedup"),
     )
+
+
+def substring_dedup_incremental(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "expr",
+    seen_grams: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """substring_dedup against ACCUMULATED cross-delivery gram state: a
+    k-gram is excised from this batch if it already occurs in
+    `seen_grams` (one column `g` of committed 8-byte gram hashes from
+    prior deliveries — EVERY batch occurrence goes, the keeper lives in
+    an earlier delivery) or occurs >= 2 times within the batch (batch
+    rule: the batch-first occurrence survives).
+
+    Returns (result, gram_occurrences): `result` has substring_dedup's
+    schema; `gram_occurrences` is this batch's (id, g) inventory over
+    the ORIGINAL text, for committing to state after the run's docs
+    commit (original-text grams, not post-excision ones — the batch rule
+    counts occurrences over originals, and an excised gram's keeper is
+    already in state, so a redundant state row is harmless while a
+    MISSING one would let the duplicate text back in next delivery).
+
+    Keeper semantics across deliveries are first-ARRIVED, then
+    min (id, pos) within a delivery — the natural incremental order; a
+    from-scratch batch pass over the union could instead pick a
+    later-delivered doc with a smaller id as keeper. Scale shape is
+    substring_dedup's (no pair join; token-linear inventory) plus one
+    semi-join of the inventory against the state on the 8-byte gram key
+    — with the state in a table bucketed on `g`, the state side of that
+    join is Exchange-free (see plans.curate_incremental)."""
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..functions.text import tokens_col  # noqa: PLC0415
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_tk")
+    )
+    base = track_persist(base)
+    occ = (
+        _gram_occurrences_rolling(base, k)
+        if method == "rolling"
+        else _gram_occurrences_expr(base, k)
+    )
+    # occ feeds the within-batch stats, the state semi-join, and the
+    # returned inventory — persist or re-derive grams three times
+    occ = track_persist(occ)
+    flagged = _flagged_batch_occurrences(occ)
+    if seen_grams is not None:
+        flagged = flagged.unionByName(
+            occ.join(seen_grams.select("g"), "g", "left_semi").select(
+                "id", "pos"
+            )
+        ).distinct()
+    result = _excise_flagged_starts(base, flagged, k, id_col)
+    return result, occ.select("id", "g")
 
 
 def top_repeated_kgrams(

@@ -100,6 +100,40 @@ def committed_bucketed_fingerprints(
     )
 
 
+def append_bucketed_grams(
+    df: DataFrame, table: str, buckets: int = 16
+) -> None:
+    """Append (g, run_id) k-gram hash rows to the substring-dedup state
+    table, hash-bucketed on the gram key — same one-time-shuffle
+    discipline as the fingerprint state, so every later delivery's
+    inventory semi-join reads the state side Exchange-free."""
+    (
+        df.write.mode("append")
+        .bucketBy(buckets, "g")
+        .sortBy("g")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def committed_bucketed_grams(
+    spark: SparkSession, state_dir: str, table: str
+) -> DataFrame | None:
+    """Gram state restricted to COMMITTED run_ids (replayed uncommitted
+    runs may have appended rows that do not count yet); the filter does
+    not disturb the bucket layout."""
+    if not spark.catalog.tableExists(table):
+        return None
+    cur = current_snapshot(state_dir)
+    if cur is None:
+        return None
+    return (
+        spark.table(table)
+        .filter(F.col("run_id").isin(cur["run_ids"]))
+        .select("g")
+    )
+
+
 def _rewrite(df: DataFrame, out_dir: str) -> None:
     """Unconditional clear-and-write. Unlike the streaming epoch's
     write_run_once, an UNCOMMITTED incremental run dir must never be
@@ -124,6 +158,9 @@ def run_incremental_curation(
     fp_buckets: int = 16,
     minhash_state_table: str | None = None,
     near_dup_est_threshold: float = 0.5,
+    substr_state_table: str | None = None,
+    substr_k: int = 50,
+    substr_method: str = "expr",
 ) -> dict:
     """Curate one delivery against the accumulated state; returns the
     committed manifest plus this run's survivor count.
@@ -133,7 +170,15 @@ def run_incremental_curation(
     signature state — see near_dup_drops) and appends the survivors'
     signatures/band buckets for future deliveries. Exact fingerprints
     catch byte-identical resubmissions; this tier catches lightly-edited
-    ones."""
+    ones.
+
+    substr_state_table adds the third granularity: token-k-gram
+    substring excision (operators.dedup.substring_dedup_incremental)
+    against accumulated gram state — a banner committed by delivery 1 is
+    cut OUT of delivery 2's otherwise-unique docs (doc-level tiers keep
+    such docs whole). Survivor text is stored post-excision; the
+    survivors' ORIGINAL-text gram inventory appends to the bucketed
+    state, committed-run_ids-only like the other tiers."""
     cur = current_snapshot(state_dir)
     if cur is not None and run_id in cur["run_ids"]:
         return {"manifest": cur, "n_new": 0, "replayed": True}
@@ -183,6 +228,28 @@ def run_incremental_curation(
         if drops is not None:
             batch_uniq = batch_uniq.join(drops, "id", "left_anti")
 
+    batch_gram_occ = None
+    if substr_state_table is not None:
+        from ..cache import track_persist  # noqa: PLC0415
+        from ..operators.dedup import (  # noqa: PLC0415
+            substring_dedup_incremental,
+        )
+
+        seen_g = committed_bucketed_grams(spark, state_dir, substr_state_table)
+        # batch_uniq feeds the dedup AND the rejoin of its non-text cols
+        batch_uniq = track_persist(batch_uniq)
+        deduped, batch_gram_occ = substring_dedup_incremental(
+            batch_uniq,
+            k=substr_k,
+            id_col="id",
+            text_col="text",
+            method=substr_method,
+            seen_grams=seen_g,
+        )
+        batch_uniq = batch_uniq.drop("text").join(
+            deduped.select("id", F.col("text_dedup").alias("text")), "id"
+        )
+
     curated = batch_uniq.select(
         "id",
         "text",
@@ -211,6 +278,16 @@ def run_incremental_curation(
             batch_sigs.join(committed.select("id"), "id"),
             run_id,
             minhash_state_table,
+            fp_buckets,
+        )
+    if substr_state_table is not None:
+        # distinct original-text grams of the docs actually committed
+        append_bucketed_grams(
+            batch_gram_occ.join(committed.select("id"), "id", "left_semi")
+            .select("g")
+            .distinct()
+            .withColumn("run_id", F.lit(run_id)),
+            substr_state_table,
             fp_buckets,
         )
     row = committed.selectExpr(

@@ -421,3 +421,106 @@ def test_corpus_report_reference(spark):
     assert {s: tuple(r) for s, r in got.items()} == {
         s: tuple(r) for s, r in again.items()
     }
+
+
+def test_incremental_substring_state_excises_cross_delivery_banner(
+    spark, tmp_path
+):
+    """The third dedup granularity in incremental curation: a k-gram
+    banner committed by delivery 1 is cut OUT of delivery 2's otherwise-
+    unique docs (the doc-level fp/minhash tiers would keep those docs
+    whole); replay-safe; state side of the gram semi-join Exchange-free."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.plans.curate_incremental import (
+        committed_bucketed_grams,
+        run_incremental_curation,
+    )
+
+    table = "gram_state_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    state = str(tmp_path / "state")
+    banner = "the quick brown fox jumps over lazy dogs"  # 8 tokens, k=4
+
+    def tail(tag):
+        # every token unique to the tag: no repeated k-grams within or
+        # across tails, so only the banner is ever excisable
+        return " ".join(f"u{tag}{j}" for j in range(20))
+
+    # delivery 1: banner appears ONCE (doc 1) -> survives delivery 1
+    # intact (within-batch count is 1); doc 2 is banner-free
+    b1 = spark.createDataFrame(
+        [(1, f"{banner} {tail('a')}"), (2, tail("b"))],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_curation(
+        spark, b1, state, "run-1", substr_state_table=table, substr_k=4
+    )
+    assert r1["n_new"] == 2
+    import os
+
+    t1 = {
+        r["id"]: r["text"]
+        for r in spark.read.parquet(
+            os.path.join(state, "results", "run_id=run-1")
+        ).collect()
+    }
+    assert banner in t1[1], "delivery-1 banner must survive untouched"
+
+    # delivery 2: doc 10 = banner + unique tail. Doc-level tiers keep it
+    # (unique fp); the gram state must excise exactly the banner tokens.
+    b2 = spark.createDataFrame(
+        [(10, f"{banner} {tail('c')}")], "doc_id long, text string"
+    )
+    r2 = run_incremental_curation(
+        spark, b2, state, "run-2", substr_state_table=table, substr_k=4
+    )
+    assert r2["n_new"] == 1
+    t2 = {
+        r["id"]: (r["text"], r["n_tokens"])
+        for r in spark.read.parquet(
+            os.path.join(state, "results", "run_id=run-2")
+        ).collect()
+    }
+    text2, ntok2 = t2[10]
+    assert banner not in text2 and "fox" not in text2
+    assert text2 == tail("c"), "only the banner tokens may be excised"
+    assert ntok2 == len(tail("c").split())
+
+    # replay of run-2 is a no-op (no duplicate state rows, same snapshot)
+    r2b = run_incremental_curation(
+        spark, b2, state, "run-2", substr_state_table=table, substr_k=4
+    )
+    assert r2b["replayed"] and r2b["manifest"]["snapshot_id"] == 2
+    # a third delivery repeating the banner is still excised (state grew)
+    b3 = spark.createDataFrame(
+        [(20, f"{tail('d')} {banner}")], "doc_id long, text string"
+    )
+    r3 = run_incremental_curation(
+        spark, b3, state, "run-3", substr_state_table=table, substr_k=4
+    )
+    assert r3["n_new"] == 1
+    t3 = spark.read.parquet(
+        os.path.join(state, "results", "run_id=run-3")
+    ).collect()[0]["text"]
+    assert t3 == tail("d")
+
+    # plan evidence: the gram-state side of the semi-join is bucketed and
+    # Exchange-free (broadcast disabled to exercise the SMJ path)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gstate = committed_bucketed_grams(spark, state, table)
+        probe = spark.createDataFrame([(1,)], "g long").repartition(16, "g")
+        plan = (
+            probe.join(gstate, "g", "left_semi")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan, plan[:800]
+        assert plan.count("Exchange") <= 1, plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
