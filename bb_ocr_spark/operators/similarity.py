@@ -35,6 +35,27 @@ from pyspark.sql import functions as F
 from .. import config
 
 
+def _lit_doubles(nested) -> Column:
+    """Literal (arbitrarily nested) array<double> built with ONE py4j
+    call. F.lit on a nested python list issues a py4j round trip per
+    element — measured 36 s just to CONSTRUCT the residual encoder's
+    per-list codebook literals (2 sides x 8 subspaces x 16x16x8 floats)
+    before Spark ever saw the plan. A single F.expr string parses
+    JVM-side in milliseconds into the same CreateArray-of-literals tree
+    (constant-folded once by Catalyst). %.17e round-trips every IEEE
+    double exactly and the exponent form parses directly as DOUBLE
+    (a plain decimal literal would parse as DECIMAL first)."""
+
+    def fmt(o) -> str:
+        try:
+            items = iter(o)
+        except TypeError:
+            return f"{float(o):.17e}"
+        return "array(" + ",".join(fmt(x) for x in items) + ")"
+
+    return F.expr(fmt(nested))
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -111,7 +132,7 @@ def _plane_dots_col(vec: Column, planes) -> Column:
     engines with different float summation orders."""
 
     def plane_dot(plane) -> Column:
-        lit_plane = F.lit(plane.tolist())
+        lit_plane = _lit_doubles(plane)
         return F.round(
             F.aggregate(
                 F.transform(
@@ -446,7 +467,7 @@ def _centroid_scores_col(vec: Column, cents) -> Column:
     list_dot_product need not match Spark's fold bit-for-bit)."""
 
     def dot(cent) -> Column:
-        lit_c = F.lit(cent.tolist())
+        lit_c = _lit_doubles(cent)
         return F.round(
             F.aggregate(
                 F.transform(
@@ -855,7 +876,7 @@ def _sub_l2_scored(vec: Column, norm: Column, cb, j: int) -> Column:
     sub = F.transform(
         F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double")
     )
-    cb_lit = F.lit([[float(v) for v in c] for c in cb])
+    cb_lit = _lit_doubles(cb)
 
     def fold_c2(c) -> float:
         # python left fold — bit-identical to the IEEE order the SQL
@@ -865,7 +886,7 @@ def _sub_l2_scored(vec: Column, norm: Column, cb, j: int) -> Column:
             acc = acc + float(v) * float(v)
         return acc
 
-    c2_lit = F.lit([fold_c2(c) for c in cb])
+    c2_lit = _lit_doubles([fold_c2(c) for c in cb])
 
     def dist(c: Column, i: Column) -> Column:
         dot = F.aggregate(
@@ -1310,17 +1331,18 @@ def _shifted_books(centroids, codebooks, j: int, dsub: int):
     ]
 
 
-def _sub_l2_scored_by_list(
-    vec: Column, norm: Column, list_col: Column, shifted_j, j: int
-) -> Column:
-    """array<struct<d,idx>> of rounded shifted-centroid distances for
-    subspace j, with the codebook variant selected by the row's coarse
-    list id at runtime (3-level literal array; tree stays HOF-small,
-    same left-fold arithmetic as _sub_l2_scored)."""
-    dsub = len(shifted_j[0][0])
-    sub = F.transform(
-        F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double")
-    )
+def _shifted_books_frame(spark, centroids, residual_books, dim: int):
+    """The per-list shifted codebooks + their ||c'||^2 folds as a 1-ROW
+    broadcastable DataFrame (columns _rb_j: array<array<array<double>>>,
+    _rc2_j: array<array<double>> per subspace). Shipping the model as
+    DATA instead of literal expression trees matters twice over: F.lit
+    per element costs a py4j round trip (36 s to build), and even a
+    parsed literal tree is ~40k CreateArray nodes that the analyzer
+    RE-WALKS on every chained transformation — a cross-joined 1-row
+    frame is one attribute reference. Same doubles either way
+    (createDataFrame stores python floats as exact DoubleType)."""
+    m = len(residual_books)
+    dsub = dim // m
 
     def fold_c2(c) -> float:
         acc = 0.0
@@ -1328,12 +1350,37 @@ def _sub_l2_scored_by_list(
             acc = acc + float(v) * float(v)
         return acc
 
-    books_lit = F.lit(
-        [[[float(v) for v in c] for c in per_list] for per_list in shifted_j]
+    row, fields = [], []
+    for j in range(m):
+        shifted_j = _shifted_books(centroids, residual_books, j, dsub)
+        row.append(
+            [[[float(v) for v in c] for c in per_list] for per_list in shifted_j]
+        )
+        row.append([[fold_c2(c) for c in per_list] for per_list in shifted_j])
+        fields.append(f"_rb_{j} array<array<array<double>>>")
+        fields.append(f"_rc2_{j} array<array<double>>")
+    return spark.createDataFrame([tuple(row)], ", ".join(fields))
+
+
+def _sub_l2_scored_by_list(
+    vec: Column,
+    norm: Column,
+    list_col: Column,
+    books_col: Column,
+    c2_col: Column,
+    j: int,
+    dsub: int,
+) -> Column:
+    """array<struct<d,idx>> of rounded shifted-centroid distances for
+    subspace j, with the codebook variant selected by the row's coarse
+    list id at runtime (codebooks ride in as the cross-joined 1-row
+    frame's columns — see _shifted_books_frame; same left-fold
+    arithmetic as _sub_l2_scored)."""
+    sub = F.transform(
+        F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double")
     )
-    c2_lit = F.lit([[fold_c2(c) for c in per_list] for per_list in shifted_j])
-    my_books = F.element_at(books_lit, list_col.cast("int") + 1)
-    my_c2 = F.element_at(c2_lit, list_col.cast("int") + 1)
+    my_books = F.element_at(books_col, list_col.cast("int") + 1)
+    my_c2 = F.element_at(c2_col, list_col.cast("int") + 1)
     return F.transform(
         my_books,
         lambda c, i: F.struct(
@@ -1375,12 +1422,16 @@ def ivfpq_topk_residual(
     frame. Recall gain vs direct encoding is MEASURED in tests."""
     m = len(residual_books)
     dsub = dim // m
-    shifted = [
-        _shifted_books(centroids, residual_books, j, dsub) for j in range(m)
-    ]
-    prep_c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_n", _norm(F.col("_v")))
+    blit = _shifted_books_frame(
+        corpus.sparkSession, centroids, residual_books, dim
+    )
+    prep_c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        )
+        .withColumn("_n", _norm(F.col("_v")))
+        .crossJoin(F.broadcast(blit))
+    )
     with_list = prep_c.withColumn(
         "list_id",
         F.array_max(_centroid_scores_col(F.col("_v"), centroids))["idx"],
@@ -1392,20 +1443,32 @@ def ivfpq_topk_residual(
             *[
                 F.array_min(
                     _sub_l2_scored_by_list(
-                        F.col("_v"), F.col("_n"), F.col("list_id"), shifted[j], j
+                        F.col("_v"),
+                        F.col("_n"),
+                        F.col("list_id"),
+                        F.col(f"_rb_{j}"),
+                        F.col(f"_rc2_{j}"),
+                        j,
+                        dsub,
                     )
                 )["idx"]
                 for j in range(m)
             ]
         ).alias("codes"),
     )
-    prep_q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_n", _norm(F.col("_v")))
+    prep_q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v")
+        )
+        .withColumn("_n", _norm(F.col("_v")))
+        .crossJoin(F.broadcast(blit))
+    )
     probed = prep_q.select(
         "query_id",
         "_v",
         "_n",
+        *[f"_rb_{j}" for j in range(m)],
+        *[f"_rc2_{j}" for j in range(m)],
         F.explode_outer(
             F.transform(
                 F.slice(
@@ -1429,7 +1492,13 @@ def ivfpq_topk_residual(
         *[
             F.transform(
                 _sub_l2_scored_by_list(
-                    F.col("_v"), F.col("_n"), F.col("list_id"), shifted[j], j
+                    F.col("_v"),
+                    F.col("_n"),
+                    F.col("list_id"),
+                    F.col(f"_rb_{j}"),
+                    F.col(f"_rc2_{j}"),
+                    j,
+                    dsub,
                 ),
                 lambda s: s["d"],
             ).alias(f"_t{j}")
