@@ -1677,3 +1677,37 @@ WITH blit AS (
 SELECT query_id, vec_id, adc_dist, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {k}
 """
+
+
+def recommend_pq_encoding(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The direct-vs-residual selection rule measured in
+    BENCH/ANN_RECALL_r05.md, as a one-scan aggregate: residual encoding
+    (ivfpq_topk_residual) quantizes the ball of coarse residuals, so it
+    beats direct encoding (ivfpq_topk) iff that ball is SMALLER than the
+    unit sphere the direct codebooks cover — i.e. iff the mean squared
+    residual norm E||u - c_assigned||^2 = E[2 - 2*cos(u, c)] < 1.
+    Returns {"mean_residual_sq", "encoding"}. Distributed: one narrow
+    scan, a scalar avg; no collect of vectors."""
+    scores = _centroid_scores_col(F.col("_v"), centroids)
+    row = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .withColumn("_n", _norm(F.col("_v")))
+        .select(
+            (
+                F.lit(2.0)
+                - F.lit(2.0) * F.array_max(scores)["cos"] / F.col("_n")
+            ).alias("_r2")
+        )
+        .agg(F.avg("_r2").alias("mean_residual_sq"))
+        .collect()[0]
+    )
+    r2 = float(row["mean_residual_sq"])
+    return {
+        "mean_residual_sq": round(r2, 6),
+        "encoding": "residual" if r2 < 1.0 else "direct",
+    }

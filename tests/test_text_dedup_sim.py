@@ -1243,3 +1243,38 @@ def test_ivfpq_residual_beats_direct(spark):
         residual_books=res_books, k=3, n_probe=4,
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, res_out))
+
+
+def test_recommend_pq_encoding_crossover(spark):
+    """The measured IVFADC crossover rule (BENCH/ANN_RECALL_r05.md):
+    tight coarse clusters (mean residual norm^2 < 1) -> residual
+    encoding; near-isotropic data (residual ball bigger than the unit
+    sphere) -> direct encoding."""
+    import numpy as np
+
+    from bb_ocr_spark.operators.similarity import (
+        recommend_pq_encoding,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    centers = rng.randn(8, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    tight = spark.createDataFrame(
+        [
+            (i, [float(v) for v in centers[i % 8] + 0.1 * rng.randn(dim)])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    iso = spark.createDataFrame(
+        [(i, [float(v) for v in rng.randn(dim)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    ct = train_centroids(tight, n_centroids=8)
+    ci = train_centroids(iso, n_centroids=8)
+    rt = recommend_pq_encoding(tight, ct)
+    ri = recommend_pq_encoding(iso, ci)
+    assert rt["encoding"] == "residual" and rt["mean_residual_sq"] < 1.0
+    assert ri["encoding"] == "direct" and ri["mean_residual_sq"] >= 1.0
