@@ -8,7 +8,8 @@ Cluster usage (same packaging contract as jobs/extract_submit.py):
         --input  <documents parquet path (doc_id, text, ...)> \
         --state  <curation state dir> \
         --run-id <delivery id> \
-        [--fp-table NAME] [--eval-input PATH] [--shard-budget N]
+        [--fp-table NAME] [--minhash-table NAME] [--substr-table NAME]
+        [--eval-input PATH] [--shard-budget N]
         [--materialize] [--compact-state]
 
 Each invocation curates ONE delivery against the accumulated state
@@ -38,6 +39,15 @@ def main() -> None:
                          "resubmissions of prior deliveries are dropped by "
                          "estimated Jaccard against the accumulated "
                          "signatures")
+    ap.add_argument("--substr-table", default=None,
+                    help="gram state table for cross-delivery substring "
+                         "excision: k-gram runs already committed by prior "
+                         "deliveries are cut OUT of this delivery's docs "
+                         "(operators/dedup.py::substring_dedup_incremental)")
+    ap.add_argument("--substr-k", type=int, default=50,
+                    help="token k-gram length for --substr-table (Lee et "
+                         "al. use 50; the rolling-hash gram path engages "
+                         "automatically for k >= 16)")
     ap.add_argument("--eval-input", default=None,
                     help="optional eval/benchmark docs to decontaminate against")
     ap.add_argument("--compact-state", action="store_true",
@@ -58,7 +68,20 @@ def main() -> None:
 
     from bb_ocr_spark.plans.curate_incremental import run_incremental_curation
 
-    spark = SparkSession.builder.appName("bb_ocr_curate").getOrCreate()
+    builder = SparkSession.builder.appName("bb_ocr_curate")
+    if args.fp_table or args.minhash_table or args.substr_table:
+        # bucketed STATE tables must outlive this process: the default
+        # in-memory catalog forgets both the table entry and its
+        # BUCKETING spec at session exit — the next delivery's append
+        # then dies with LOCATION_ALREADY_EXISTS, and even re-registering
+        # the path would scan bucket-blind (silently forfeiting the
+        # Exchange-free state join). Hive support persists the catalog in
+        # the derby metastore under the working directory: submit every
+        # delivery of one curation lineage from the same cwd (on a real
+        # cluster, point spark.sql.catalogImplementation at the shared
+        # metastore instead).
+        builder = builder.enableHiveSupport()
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     batch = spark.read.parquet(args.input)
@@ -74,6 +97,9 @@ def main() -> None:
         args.run_id,
         bucketed_fp_table=args.fp_table,
         minhash_state_table=args.minhash_table,
+        substr_state_table=args.substr_table,
+        substr_k=args.substr_k,
+        substr_method="rolling" if args.substr_k >= 16 else "expr",
     )
     if args.compact_state and args.fp_table:
         from bb_ocr_spark.plans.curate_incremental import (

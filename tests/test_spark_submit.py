@@ -117,3 +117,49 @@ def test_curate_submit_with_shards(tmp_path):
     )
     assert s2["replayed"] and s2["n_docs_total"] == 40
     assert os.path.getmtime(os.path.join(shard_dir, "_SUCCESS")) == mtime
+
+
+def test_curate_submit_substring_state(tmp_path):
+    """--substr-table through a real spark-submit: a banner committed by
+    delivery 1 is excised from delivery 2's unique doc, cross-process
+    (the gram state table + snapshot chain carry the coupling)."""
+    import pandas as pd
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    state = str(tmp_path / "state")
+    banner = " ".join(f"bnr{j}" for j in range(8))
+
+    def delivery(name, rows):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        pd.DataFrame(rows).to_parquet(os.path.join(d, "part-0.parquet"))
+        return d
+
+    tail1 = " ".join(f"ua{j}" for j in range(20))
+    tail2 = " ".join(f"ub{j}" for j in range(20))
+    d1 = delivery("d1", {"doc_id": [1], "text": [f"{banner} {tail1}"]})
+    d2 = delivery("d2", {"doc_id": [2], "text": [f"{banner} {tail2}"]})
+
+    s1 = _curate_submit(
+        ["--input", d1, "--state", state, "--run-id", "r1",
+         "--substr-table", "grams_cli_test", "--substr-k", "4"],
+        cwd=work,
+    )
+    assert s1["n_new"] == 1
+    s2 = _curate_submit(
+        ["--input", d2, "--state", state, "--run-id", "r2",
+         "--substr-table", "grams_cli_test", "--substr-k", "4"],
+        cwd=work,
+    )
+    assert s2["n_new"] == 1
+    out2 = pd.read_parquet(
+        os.path.join(state, "results", "run_id=r2")
+    )
+    assert list(out2["text"]) == [tail2], "banner must be excised via state"
+    out1 = pd.read_parquet(os.path.join(state, "results", "run_id=r1"))
+    assert banner in out1["text"].iloc[0]
