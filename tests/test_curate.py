@@ -524,3 +524,77 @@ def test_incremental_substring_state_excises_cross_delivery_banner(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_substring_randomized_invariant(spark, tmp_path):
+    """Randomized cross-validation of the incremental ExactSubstr rule:
+    over any delivery sequence, each ORIGINAL-text k-gram occurrence
+    survives (its k start-positions kept) at most once across the whole
+    stored corpus — later duplicates are always excised, whatever mix of
+    within-delivery and cross-delivery repetition produced them."""
+    import os
+    import random
+    import shutil
+
+    from bb_ocr_spark.plans.curate_incremental import run_incremental_curation
+
+    rng = random.Random(20260817)
+    table = "gram_state_fuzz"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    state = str(tmp_path / "state")
+    k = 3
+    # a small phrase pool so k-gram collisions actually happen, plus
+    # unique filler so docs pass quality and are not whole-doc dups
+    phrases = [
+        " ".join(f"p{p}w{j}" for j in range(k + rng.randint(0, 2)))
+        for p in range(6)
+    ]
+    originals: dict[int, str] = {}
+    doc_id = 0
+    for d in range(4):
+        rows = []
+        for _ in range(12):
+            parts = [" ".join(f"f{doc_id}x{j}" for j in range(6))]
+            for _ in range(rng.randint(0, 3)):
+                parts.insert(rng.randint(0, len(parts)), rng.choice(phrases))
+            text = " ".join(parts) + " the of and to in is that it was for"
+            rows.append((doc_id, text))
+            originals[doc_id] = text
+            doc_id += 1
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        run_incremental_curation(
+            spark, batch, state, f"run-{d}",
+            substr_state_table=table, substr_k=k,
+        )
+
+    stored = {
+        r["id"]: r["text"]
+        for d in range(4)
+        for r in spark.read.parquet(
+            os.path.join(state, "results", f"run_id=run-{d}")
+        ).collect()
+    }
+
+    # reconstruct which original token positions survived: stored text is
+    # the original minus excised runs, so greedy-match stored tokens
+    # against original tokens IN ORDER (both are subsequences)
+    seen: dict[tuple, int] = {}
+    for did, orig in originals.items():
+        if did not in stored:
+            continue  # dropped whole-doc (should not happen here)
+        otoks, stoks = orig.split(), stored[did].split()
+        kept_pos, si = [], 0
+        for oi, tok in enumerate(otoks):
+            if si < len(stoks) and stoks[si] == tok:
+                kept_pos.append(oi)
+                si += 1
+        assert si == len(stoks), f"stored text not a subsequence for {did}"
+        kept = set(kept_pos)
+        for start in range(len(otoks) - k + 1):
+            gram = tuple(otoks[start : start + k])
+            if all(start + j in kept for j in range(k)):
+                seen[gram] = seen.get(gram, 0) + 1
+    dupes = {g: n for g, n in seen.items() if n > 1 and g[0].startswith("p")}
+    assert not dupes, f"pool k-grams surviving more than once: {dupes}"
