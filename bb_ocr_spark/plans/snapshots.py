@@ -30,6 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 SNAP_DIR = "snapshots"
 
+# how long an unparsable snap file may stay unparsable before the probe
+# treats its reserver as crashed and mints past it (reserve -> replace is
+# normally microseconds; tests shrink this)
+RESERVATION_GRACE_S = 2.0
+
 
 def _snap_dir(output_dir: str) -> str:
     return os.path.join(output_dir, SNAP_DIR)
@@ -71,9 +76,10 @@ def _latest_manifest(output_dir: str) -> dict | None:
     # Descending by id, skipping unparsable entries: on the no-hardlink
     # fallback path the max file can transiently be an empty O_EXCL
     # reservation (bytes land via os.replace an instant later) or, after
-    # a reserver crash, a dead zero-byte file until a later committer
-    # takes it over — either way the previous manifest is the committed
-    # state and the reader must not wedge on the torn one.
+    # a reserver crash, a permanently dead zero-byte file (later
+    # committers mint PAST it — _next_snap_id) — either way the highest
+    # parseable manifest is the committed state and the reader must not
+    # wedge on the torn one.
     for name in sorted(
         snaps, key=lambda n: int(n[len("snap-"):-len(".json")]), reverse=True
     ):
@@ -85,6 +91,58 @@ def _latest_manifest(output_dir: str) -> dict | None:
     return None
 
 
+def _next_snap_id(output_dir: str, parent_id: int) -> int | None:
+    """Candidate id for a commit chaining to `parent_id`: the first id
+    past the parent whose slot is not taken by a PARSEABLE manifest,
+    skipping only UNPARSABLE files (dead or in-flight no-link
+    reservations — an id, once reserved, belongs to its reserver
+    forever; minting past it instead of adopting it is what closes the
+    takeover lost-commit window of a grace-timeout scheme).
+
+    Returns None when the candidate slot holds a parseable manifest:
+    that manifest post-dates the caller's parent read, so the parent is
+    STALE and must be re-read — the probe never skips over committed
+    state, which anchors the id choice to the parent and keeps the
+    create-exclusive publish a real CAS (a GLOBAL max-id rule here has
+    a TOCTOU hole: another committer's publish between the parent read
+    and the max read lets a stale-parent manifest mint a higher id and
+    silently orphan the newer commit — caught by the concurrency
+    test).
+
+    An unparsable file younger than RESERVATION_GRACE_S is an IN-FLIGHT
+    reservation (reserve→replace is microseconds apart): skipping it
+    would routinely fork the chain around a live commit under
+    concurrency, so the probe waits for it to resolve into a manifest
+    (→ None, parent stale) instead. Only a reservation that stays
+    unparsable past the grace (its writer crashed between the two
+    syscalls) is minted past — and commit_snapshot's post-publish
+    canonical-chain check covers the pathological
+    stalled-longer-than-grace writer."""
+    d = _snap_dir(output_dir)
+    sid = parent_id + 1
+    waited = 0.0
+    while True:
+        path = os.path.join(d, f"snap-{sid:06d}.json")
+        if not os.path.exists(path):
+            return sid
+        try:
+            with open(path) as f:
+                json.load(f)
+            return None  # committed manifest newer than our parent
+        except (OSError, ValueError):
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished mid-probe — re-check the same slot
+            # waited-cap also bounds clock-skew pathologies (a dead file
+            # with a future mtime would otherwise never age out)
+            if age < RESERVATION_GRACE_S and waited < 2 * RESERVATION_GRACE_S:
+                time.sleep(0.02)
+                waited += 0.02
+                continue  # in-flight — let the µs-away replace land
+            sid += 1  # dead reservation — mint past it
+
+
 def _publish_without_link(tmp: str, final: str) -> bool:
     """Publish `tmp` as `final` on filesystems without hard links.
 
@@ -92,33 +150,17 @@ def _publish_without_link(tmp: str, final: str) -> bool:
     file — the create-exclusive race arbiter, zero payload bytes; then
     (2) land the already-fully-written tmp with os.replace, which is
     atomic, so the manifest is either absent/empty or complete — never
-    truncated (the previous fallback json.dump'ed into the live file,
-    and a crash mid-write wedged the chain permanently: every later
-    committer saw the file exist, treated it as a lost race, and
-    re-read an unparsable manifest forever).
-
-    If the reservation already exists it is either a committed manifest
-    (parsable → genuine lost race → False) or another committer's
-    in-flight/dead reservation (unparsable). In-flight resolves in the
-    microseconds between its reserve and replace, so wait briefly; a
-    reservation still empty after the grace window means the reserver
-    died between the two steps — adopt it via os.replace. A takeover
-    that races the not-actually-dead reserver is resolved by the
-    caller's read-back verification (both publishes are complete
-    manifests; whoever's bytes survive wins, the other retries), so a
-    commit can be delayed by a crash but not lost or torn."""
+    truncated (an earlier fallback json.dump'ed into the live file, and
+    a crash mid-write wedged the chain permanently; an adopt-the-dead-
+    reservation variant after that had a lost-commit takeover window —
+    now a taken id, parseable or not, simply means lose-and-retry, and
+    the retry re-probes via _next_snap_id, which waits out live
+    reservations and mints past dead ones)."""
     try:
         fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.close(fd)
     except FileExistsError:
-        for _ in range(20):  # ~2s grace for an in-flight publisher
-            try:
-                with open(final) as f:
-                    json.load(f)
-                return False  # complete manifest — we lost the id race
-            except (OSError, ValueError):
-                time.sleep(0.1)
-        # dead reservation — adopt it (see docstring for the race story)
+        return False  # id taken (manifest or reservation) — mint past it
     os.replace(tmp, final)
     return True
 
@@ -145,7 +187,15 @@ def commit_snapshot(
         parent = _latest_manifest(output_dir)
         if parent and run_id in parent["run_ids"]:
             return parent  # already committed (replay) — no duplicate entry
-        snap_id = (parent["snapshot_id"] + 1) if parent else 1
+        # parent-anchored probe: skips only dead/in-flight reservations
+        # (a no-link-mount crash leaves its id as a permanent gap in the
+        # chain); a parseable manifest at the candidate means the parent
+        # is stale — refresh it
+        snap_id = _next_snap_id(
+            output_dir, parent["snapshot_id"] if parent else 0
+        )
+        if snap_id is None:
+            continue
         manifest = {
             "snapshot_id": snap_id,
             "parent_id": parent["snapshot_id"] if parent else None,
@@ -176,22 +226,29 @@ def commit_snapshot(
             if not _publish_without_link(tmp, final):
                 if os.path.exists(tmp):
                     os.unlink(tmp)
-                continue  # lost the race — rebuild against the new parent
-            # replace is publish-atomic but not compare-and-swap: a
-            # takeover race (another committer adopting what looked like
-            # a dead reservation) can overwrite this publish. Verify the
-            # landed bytes carry our run_id; if not, we lost — retry on
-            # the new parent, so no commit is ever silently dropped.
-            try:
-                with open(final) as f:
-                    landed = json.load(f)
-            except (OSError, ValueError):
-                landed = None
-            if not landed or run_id not in landed["run_ids"]:
-                continue
+                continue  # id taken — rebuild against the new state
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        # Canonical-chain check, BOTH publish paths: while a no-link
+        # committer held its (unparsable) reservation, a concurrent one
+        # may have probed past it and chained AROUND this commit; the
+        # canonical state is the max PARSEABLE manifest, so if that
+        # chain lacks our run this publish is a superseded side branch —
+        # retry on the fresh parent instead of reporting a commit that
+        # the chain never absorbed. On a pure-hardlink mount forks
+        # cannot arise (the probe never skips parseable manifests and
+        # link is a true CAS), so the check is a no-op there; it stays
+        # unconditional for mixed/degraded mounts. Residual window,
+        # documented: a no-link committer stalled ARBITRARILY long
+        # between its verification read and a racer's probe cannot be
+        # distinguished from a crashed one by any file-only protocol —
+        # Iceberg solves this with an external atomic pointer swap,
+        # which is exactly what the real catalog binding replaces this
+        # module with.
+        cur = _latest_manifest(output_dir)
+        if not cur or run_id not in cur["run_ids"]:
+            continue
         cur_path = os.path.join(_snap_dir(output_dir), "CURRENT")
         # tmp name must be unique per THREAD, not just per process: two
         # in-process committers sharing one tmp path race write/replace

@@ -233,8 +233,10 @@ def test_commit_snapshot_no_link_fallback_concurrent(tmp_path, monkeypatch):
 def test_commit_snapshot_no_link_torn_publish_recovers(tmp_path, monkeypatch):
     # a reserver that died between its O_EXCL reserve and its os.replace
     # leaves an EMPTY max snap file: readers must fall back to the last
-    # complete manifest, and the next committer must adopt the dead
-    # reservation instead of wedging the chain forever
+    # complete manifest, and the next committer must mint PAST the dead
+    # id (never adopt it — an id belongs to its reserver forever, which
+    # is what closes the takeover lost-commit window) instead of
+    # wedging the chain
     import errno
     import os
 
@@ -255,12 +257,73 @@ def test_commit_snapshot_no_link_torn_publish_recovers(tmp_path, monkeypatch):
     open(dead, "w").close()
     # reader view: torn max manifest is invisible, snap-1 is current
     assert snapshots.current_snapshot(out)["snapshot_id"] == 1
-    # committer view: adopts the dead id after the grace window
+    # committer view: skips the dead id, chain continues at 3
     m2 = snapshots.commit_snapshot(out, "run-2", 1, 22)
-    assert m2["snapshot_id"] == 2
+    assert m2["snapshot_id"] == 3
     cur = snapshots.current_snapshot(out)
-    assert cur["snapshot_id"] == 2
+    assert cur["snapshot_id"] == 3
     assert cur["run_ids"] == ["run-1", "run-2"]
+    # the dead file stays a permanent, harmless gap
+    assert os.path.getsize(dead) == 0
+    m3 = snapshots.commit_snapshot(out, "run-3", 1, 33)
+    assert m3["snapshot_id"] == 4
+
+
+def test_commit_snapshot_superseded_fork_retries(tmp_path, monkeypatch):
+    # the fork race: committer W reserves id N but stalls before its
+    # os.replace; committer C (unable to parse the empty reservation)
+    # mints N+1 chaining AROUND it. When W's publish finally lands, the
+    # canonical chain (max parseable manifest) lacks W's run — W must
+    # detect it and retry onto the canonical chain, not report success.
+    import errno
+    import os
+
+    from bb_ocr_spark.plans import snapshots
+
+    monkeypatch.setattr(
+        snapshots.os,
+        "link",
+        lambda *a, **k: (_ for _ in ()).throw(
+            OSError(errno.ENOTSUP, "Operation not supported")
+        ),
+    )
+    out = str(tmp_path / "tbl")
+    snapshots.commit_snapshot(out, "run-1", 1, 11)
+
+    # W stalls between reserve and replace: emulate by making W's FIRST
+    # publish attempt reserve the id, then "lose" (return False) while a
+    # concurrent C commits past it — then let W proceed normally.
+    real_publish = snapshots._publish_without_link
+    state = {"intercepted": False}
+
+    def stalled_publish(tmp, final):
+        if not state["intercepted"]:
+            state["intercepted"] = True
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)  # W's reservation of id 2 is now on disk
+            # C commits while W is stalled; C mints past W's reservation
+            monkeypatch.setattr(
+                snapshots, "_publish_without_link", real_publish
+            )
+            c = snapshots.commit_snapshot(out, "run-C", 1, 99)
+            assert c["snapshot_id"] == 3 and "run-C" in c["run_ids"]
+            monkeypatch.setattr(
+                snapshots, "_publish_without_link", stalled_publish
+            )
+            # W now wakes and lands its bytes on its reserved id 2 — a
+            # superseded side branch (max parseable is C's 3)
+            os.replace(tmp, final)
+            return True
+        return real_publish(tmp, final)
+
+    monkeypatch.setattr(snapshots, "_publish_without_link", stalled_publish)
+    w = snapshots.commit_snapshot(out, "run-W", 1, 77)
+    # W's returned manifest is on the canonical chain and includes C
+    assert w["snapshot_id"] == 4
+    assert set(w["run_ids"]) == {"run-1", "run-C", "run-W"}
+    cur = snapshots.current_snapshot(out)
+    assert cur["snapshot_id"] == 4
+    assert set(cur["run_ids"]) == {"run-1", "run-C", "run-W"}
 
 
 def test_commit_snapshot_replay_idempotent(tmp_path):
