@@ -702,21 +702,23 @@ def _books_for(model_dir: str):
 @functools.lru_cache(maxsize=8)
 def _res_books_for(model_dir: str):
     """Residual PQ codebooks for a model dir, trained once per process —
-    the pyarrow twin of train_residual_codebooks: unit-normalized sorted
-    sample, coarse-assigned with the runtime rule (9dp-rounded dots,
-    ties -> highest centroid), residuals quantized per-subspace with
-    plain-L2 k-means. Bit-identical to ivfpq_residual_oracle_sql's
+    the pyarrow twin of train_residual_codebooks: sorted sample,
+    coarse-assigned via the shared coarse_assign_numpy (raw dots, 9dp,
+    ties -> highest centroid — the runtime encoder's exact rule),
+    unit-sphere residuals quantized per-subspace with plain-L2 k-means. Bit-identical to ivfpq_residual_oracle_sql's
     training, so both engines carry the same shifted codebooks."""
     import numpy as np  # noqa: PLC0415
 
     from bb_ocr_spark import config as C  # noqa: PLC0415
-    from bb_ocr_spark.operators.similarity import kmeans_l2_numpy
+    from bb_ocr_spark.operators.similarity import (
+        coarse_assign_numpy,
+        kmeans_l2_numpy,
+    )
 
     x = _model_sample(model_dir)
     u = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = _cents_for(model_dir)
-    dots = np.round(u @ cents.T, 9)
-    assign = dots.shape[1] - 1 - dots[:, ::-1].argmax(axis=1)
+    assign = coarse_assign_numpy(x, cents)
     r = u - cents[assign]
     dsub = 64 // 8
     return [

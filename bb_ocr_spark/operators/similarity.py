@@ -877,16 +877,7 @@ def _sub_l2_scored(vec: Column, norm: Column, cb, j: int) -> Column:
         F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double")
     )
     cb_lit = _lit_doubles(cb)
-
-    def fold_c2(c) -> float:
-        # python left fold — bit-identical to the IEEE order the SQL
-        # oracle generator embeds, so ||c||² is a shared constant
-        acc = 0.0
-        for v in c:
-            acc = acc + float(v) * float(v)
-        return acc
-
-    c2_lit = _lit_doubles([fold_c2(c) for c in cb])
+    c2_lit = _lit_doubles([_fold_c2(c) for c in cb])
 
     def dist(c: Column, i: Column) -> Column:
         dot = F.aggregate(
@@ -992,9 +983,7 @@ def _pq_dist_term_sql(src: str, nsrc: str, j: int, cent, dsub: int) -> str:
     # mirror of _sub_l2_scored exactly: 1 + ||c||² − 2⟨v_sub,c⟩/n with
     # ||c||² as the python left-fold literal (same IEEE order as the
     # Spark aggregate) and the dot as a left-assoc sum
-    c2 = 0.0
-    for v in cent:
-        c2 = c2 + float(v) * float(v)
+    c2 = _fold_c2(cent)
     dot = " + ".join(
         f"{src}[{j * dsub + i + 1}] * {float(cent[i])!r}" for i in range(dsub)
     )
@@ -1299,20 +1288,42 @@ def train_residual_codebooks(
     )
     x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
     u = x / np.linalg.norm(x, axis=1, keepdims=True)
-    # mirror the RUNTIME coarse rule (_centroid_scores_col + array_max):
-    # dots rounded to 9 decimals, ties -> HIGHEST centroid index. numpy's
-    # plain argmax breaks ties toward the lowest index, which would train
-    # a tied vector's residual against a different centroid than the one
-    # the encoder later assigns it to; argmax over the reversed columns
-    # flips the tie rule to match.
-    dots = np.round(u @ np.asarray(centroids).T, 9)
-    assign = dots.shape[1] - 1 - dots[:, ::-1].argmax(axis=1)
+    assign = coarse_assign_numpy(x, centroids)
     r = u - np.asarray(centroids)[assign]
     dsub = dim // m
     return [
         kmeans_l2_numpy(r[:, j * dsub : (j + 1) * dsub], ksub, iters, seed + j)
         for j in range(m)
     ]
+
+
+def coarse_assign_numpy(x, centroids):
+    """The numpy twin of the RUNTIME coarse rule (_centroid_scores_col +
+    array_max): dots of the RAW vectors (not normalized — rounding raw
+    vs normalized dots resolves near-9dp-boundary cases differently for
+    non-unit vectors, so the mirror must round exactly what the encoder
+    rounds) to 9 decimals, ties -> HIGHEST centroid index (numpy's plain
+    argmax breaks ties toward the lowest index, which would train a tied
+    vector's residual against a centroid the encoder never assigns it
+    to; argmax over the reversed columns flips the tie rule to match).
+    The SINGLE copy of this rule — train_residual_codebooks, the
+    residual SQL-oracle generator, and the entry-contract model twin all
+    call here, so the three cannot drift apart."""
+    import numpy as np  # noqa: PLC0415
+
+    dots = np.round(np.asarray(x, dtype="float64") @ np.asarray(centroids).T, 9)
+    return dots.shape[1] - 1 - dots[:, ::-1].argmax(axis=1)
+
+
+def _fold_c2(c) -> float:
+    """python left fold of ||c||^2 — bit-identical to the IEEE order the
+    SQL oracle embeds and the Spark-side literal shares; the single copy
+    used by the encoder frame, the plain-PQ scorer, and the residual
+    oracle generator."""
+    acc = 0.0
+    for v in c:
+        acc = acc + float(v) * float(v)
+    return acc
 
 
 def _shifted_books(centroids, codebooks, j: int, dsub: int):
@@ -1343,20 +1354,13 @@ def _shifted_books_frame(spark, centroids, residual_books, dim: int):
     (createDataFrame stores python floats as exact DoubleType)."""
     m = len(residual_books)
     dsub = dim // m
-
-    def fold_c2(c) -> float:
-        acc = 0.0
-        for v in c:
-            acc = acc + float(v) * float(v)
-        return acc
-
     row, fields = [], []
     for j in range(m):
         shifted_j = _shifted_books(centroids, residual_books, j, dsub)
         row.append(
             [[[float(v) for v in c] for c in per_list] for per_list in shifted_j]
         )
-        row.append([[fold_c2(c) for c in per_list] for per_list in shifted_j])
+        row.append([[_fold_c2(c) for c in per_list] for per_list in shifted_j])
         fields.append(f"_rb_{j} array<array<array<double>>>")
         fields.append(f"_rc2_{j} array<array<double>>")
     return spark.createDataFrame([tuple(row)], ", ".join(fields))
@@ -1565,9 +1569,10 @@ def ivfpq_residual_oracle_sql(
     x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
     cents = kmeans_numpy(x, n_centroids, seed=seed)
     u = x / np.linalg.norm(x, axis=1, keepdims=True)
-    # train_residual_codebooks' assignment: rounded dots, ties -> highest
-    dots = np.round(u @ cents.T, 9)
-    assign = dots.shape[1] - 1 - dots[:, ::-1].argmax(axis=1)
+    # the SAME training code path as the Spark side: shared coarse rule
+    # (raw dots, 9dp, ties -> highest) and shared per-subspace k-means —
+    # no re-implemented copy that could drift
+    assign = coarse_assign_numpy(x, cents)
     r = u - cents[assign]
     dsub = dim // m
     books = [
@@ -1575,18 +1580,10 @@ def ivfpq_residual_oracle_sql(
         for j in range(m)
     ]
 
-    def fold_c2(c) -> float:
-        acc = 0.0
-        for v in c:
-            acc = acc + float(v) * float(v)
-        return acc
-
+    fold_c2 = _fold_c2
     b_lits, c2_lits = [], []
     for j in range(m):
-        shifted_j = [
-            [cents[lst, j * dsub : (j + 1) * dsub] + c for c in books[j]]
-            for lst in range(n_centroids)
-        ]
+        shifted_j = _shifted_books(cents, books, j, dsub)
         b_lits.append(
             "CAST(["
             + ", ".join(
@@ -1682,7 +1679,6 @@ FROM ranked WHERE rk <= {k}
 def recommend_pq_encoding(
     corpus: DataFrame,
     centroids,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
     """The direct-vs-residual selection rule measured in

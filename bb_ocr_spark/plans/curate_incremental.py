@@ -176,9 +176,12 @@ def run_incremental_curation(
     substring excision (operators.dedup.substring_dedup_incremental)
     against accumulated gram state — a banner committed by delivery 1 is
     cut OUT of delivery 2's otherwise-unique docs (doc-level tiers keep
-    such docs whole). Survivor text is stored post-excision; the
-    survivors' ORIGINAL-text gram inventory appends to the bucketed
-    state, committed-run_ids-only like the other tiers."""
+    such docs whole). Docs with at least one excised run store the
+    token-level rebuild (lowercased, single-spaced — the artifact shape
+    token-granular ExactSubstr emits); UNTOUCHED docs keep their
+    original text byte-for-byte. The survivors' ORIGINAL-text gram
+    inventory appends to the bucketed state, committed-run_ids-only
+    like the other tiers."""
     cur = current_snapshot(state_dir)
     if cur is not None and run_id in cur["run_ids"]:
         return {"manifest": cur, "n_new": 0, "replayed": True}
@@ -246,8 +249,20 @@ def run_incremental_curation(
             method=substr_method,
             seen_grams=seen_g,
         )
-        batch_uniq = batch_uniq.drop("text").join(
-            deduped.select("id", F.col("text_dedup").alias("text")), "id"
+        # Keep the ORIGINAL text byte-for-byte for docs with nothing to
+        # excise: text_dedup is rebuilt from the token stream (lowercase,
+        # single-space), and silently normalizing every untouched doc
+        # corpus-wide would be destructive. Docs that DID lose runs store
+        # the token-level rebuild — the same artifact shape Lee et al.'s
+        # ExactSubstr emits, documented in the run docstring.
+        batch_uniq = batch_uniq.join(
+            deduped.select("id", "n_dup_tokens", "text_dedup"), "id"
+        ).select(
+            "id",
+            F.when(F.col("n_dup_tokens") > 0, F.col("text_dedup"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "fp",
         )
 
     curated = batch_uniq.select(

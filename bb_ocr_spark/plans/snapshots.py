@@ -141,6 +141,10 @@ def _next_snap_id(output_dir: str, parent_id: int) -> int | None:
                 waited += 0.02
                 continue  # in-flight — let the µs-away replace land
             sid += 1  # dead reservation — mint past it
+            waited = 0.0  # fresh grace PER SLOT: exhausting the wait on
+            # one dead file must not strip patience for a LIVE
+            # reservation at the next id (skipping it would fork the
+            # chain around a healthy in-flight commit)
 
 
 def _publish_without_link(tmp: str, final: str) -> bool:

@@ -452,15 +452,22 @@ def test_incremental_substring_state_excises_cross_delivery_banner(
         return " ".join(f"u{tag}{j}" for j in range(20))
 
     # delivery 1: banner appears ONCE (doc 1) -> survives delivery 1
-    # intact (within-batch count is 1); doc 2 is banner-free
+    # intact (within-batch count is 1); doc 2 is banner-free; doc 3 has
+    # casing/punctuation/newlines and NO shared grams — its stored text
+    # must stay byte-identical (the excision rebuild must never
+    # normalize untouched documents)
+    fancy = (
+        "Hello,\nWorld — the Quarterly  Report (2024) "
+        + " ".join(f"Uf{j}" for j in range(16))
+    )
     b1 = spark.createDataFrame(
-        [(1, f"{banner} {tail('a')}"), (2, tail("b"))],
+        [(1, f"{banner} {tail('a')}"), (2, tail("b")), (3, fancy)],
         "doc_id long, text string",
     )
     r1 = run_incremental_curation(
         spark, b1, state, "run-1", substr_state_table=table, substr_k=4
     )
-    assert r1["n_new"] == 2
+    assert r1["n_new"] == 3
     import os
 
     t1 = {
@@ -470,6 +477,9 @@ def test_incremental_substring_state_excises_cross_delivery_banner(
         ).collect()
     }
     assert banner in t1[1], "delivery-1 banner must survive untouched"
+    # pii scrub does not touch this text, so untouched-by-excision means
+    # BYTE-identical storage (casing, punctuation, newlines preserved)
+    assert t1[3] == fancy, "untouched doc must not be normalized"
 
     # delivery 2: doc 10 = banner + unique tail. Doc-level tiers keep it
     # (unique fp); the gram state must excise exactly the banner tokens.
