@@ -869,26 +869,32 @@ def _sub_l2_scored(vec: Column, norm: Column, cb, j: int) -> Column:
     arithmetic order (left fold from 0.0) keeps the SQL oracle
     bit-exact."""
     dsub = cb.shape[1]
-    sub = F.transform(
-        F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double")
-    )
-    cb_lit = _lit_doubles(cb)
-    c2_lit = _lit_doubles([_fold_c2(c) for c in cb])
-
-    def dist(c: Column, i: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(sub, c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, v: a + v,
+    # ONE F.expr (same py4j-chatter economics as _centroid_scores_col:
+    # the lambda-builder form cost ~60 ms per call x 16 calls per PQ
+    # query; the SQL string parses JVM-side in microseconds into the
+    # identical transform/aggregate tree — bit-parity verified by
+    # xxhash64 against the old builder on the gate corpus)
+    vec_name = vec._jc.toString()
+    norm_name = norm._jc.toString()
+    cb_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v):.17e}" for v in c) + ")"
+            for c in cb
         )
-        c2 = F.element_at(c2_lit, i.cast("int") + 1)
-        return F.round(F.lit(1.0) + c2 - F.lit(2.0) * dot / norm, 9)
-
-    return F.transform(
-        cb_lit,
-        lambda c, i: F.struct(
-            dist(c, i).alias("d"), i.cast("int").alias("idx")
-        ),
+        + ")"
+    )
+    c2_lit = "array(" + ",".join(f"{_fold_c2(c):.17e}" for c in cb) + ")"
+    sub = (
+        f"transform(slice({vec_name}, {j * dsub + 1}, {dsub}), "
+        f"x -> CAST(x AS DOUBLE))"
+    )
+    return F.expr(
+        f"transform({cb_lit}, (c, i) -> struct("
+        f"round(CAST(1.0 AS DOUBLE) + element_at({c2_lit}, CAST(i AS INT) + 1)"
+        f" - CAST(2.0 AS DOUBLE) * aggregate(zip_with({sub}, c, "
+        f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v) "
+        f"/ {norm_name}, 9) AS d, CAST(i AS INT) AS idx))"
     )
 
 
@@ -1375,29 +1381,25 @@ def _sub_l2_scored_by_list(
     subspace j, with the codebook variant selected by the row's coarse
     list id at runtime (codebooks ride in as the cross-joined 1-row
     frame's columns — see _shifted_books_frame; same left-fold
-    arithmetic as _sub_l2_scored)."""
-    sub = F.transform(
-        F.slice(vec, j * dsub + 1, dsub), lambda x: x.cast("double")
+    arithmetic as _sub_l2_scored, same one-F.expr construction
+    economics)."""
+    vec_name = vec._jc.toString()
+    norm_name = norm._jc.toString()
+    list_name = list_col._jc.toString()
+    books_name = books_col._jc.toString()
+    c2_name = c2_col._jc.toString()
+    sub = (
+        f"transform(slice({vec_name}, {j * dsub + 1}, {dsub}), "
+        f"x -> CAST(x AS DOUBLE))"
     )
-    my_books = F.element_at(books_col, list_col.cast("int") + 1)
-    my_c2 = F.element_at(c2_col, list_col.cast("int") + 1)
-    return F.transform(
-        my_books,
-        lambda c, i: F.struct(
-            F.round(
-                F.lit(1.0)
-                + F.element_at(my_c2, i.cast("int") + 1)
-                - F.lit(2.0)
-                * F.aggregate(
-                    F.zip_with(sub, c, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                / norm,
-                9,
-            ).alias("d"),
-            i.cast("int").alias("idx"),
-        ),
+    my_books = f"element_at({books_name}, CAST({list_name} AS INT) + 1)"
+    my_c2 = f"element_at({c2_name}, CAST({list_name} AS INT) + 1)"
+    return F.expr(
+        f"transform({my_books}, (c, i) -> struct("
+        f"round(CAST(1.0 AS DOUBLE) + element_at({my_c2}, CAST(i AS INT) + 1)"
+        f" - CAST(2.0 AS DOUBLE) * aggregate(zip_with({sub}, c, "
+        f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v) "
+        f"/ {norm_name}, 9) AS d, CAST(i AS INT) AS idx))"
     )
 
 
