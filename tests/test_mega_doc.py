@@ -127,4 +127,10 @@ def test_substring_dedup_mega_doc(spark):
     assert out[2]["n_dup_runs"] == 1             # one merged run
     assert out[2]["text_dedup"] == ""
     assert out[3]["n_dup_tokens"] == 0
-    assert dt < 90, dt                           # linear, not quadratic
+    # Linear-vs-quadratic guard, not a perf target: the linear path runs
+    # ~15-25 s here; the quadratic forms it guards against crawled for
+    # minutes at this size. 180 s leaves headroom for the 4-8x JVM bursts
+    # this host shows under load (BENCH/BENCH_NOTES_r05.md) — one full-
+    # suite run in a contended window tripped the old 90 s bound while
+    # the same test passed in isolation moments later.
+    assert dt < 180, dt
