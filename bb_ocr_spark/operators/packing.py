@@ -19,20 +19,11 @@ into one task. Instead:
      ~10^7 buckets), at `levels=2` the same bucket trick recurses once
      (super-buckets of `fanout` buckets), lifting the single-task row
      count to #buckets/fanout;
-  3. the within-bucket running sum is a ZERO-SHUFFLE streaming cumsum:
-     the range partitions are sorted in place (sortWithinPartitions — a
-     local sort, no exchange), the tiny offsets frame is broadcast-joined
-     (map-side, order-preserving), and an Arrow-batched mapInPandas walks
-     each partition once carrying the running total across batches. A
-     window PARTITIONED BY bucket would compute the same sum but forces a
-     full-corpus hash Exchange on the bucket id — redundant, since the
-     range shuffle already co-located each bucket — so the streaming form
-     saves one full-data shuffle outright (measured ~2x on the bench row).
-Shuffle cost: the range repartition and one tiny aggregation on bucket
-ids; the global-order semantics are exact (oracle-verified against a
-plain global window in SQL) for distinct non-null keys. Integer weights
-sum exactly; float weights get the same sequential in-order accumulation
-a running window would produce (deterministic given the sort).
+  3. the within-bucket running sum is a window PARTITIONED by bucket
+     (parallel), shifted by the bucket's broadcast offset.
+Shuffle cost: the range repartition, one aggregation on bucket ids, one
+parallel window; the global-order semantics are exact (oracle-verified
+against a plain global window in SQL) for distinct non-null keys.
 
 The bucketed base feeds both the subtotal pass and the final window, and
 `spark_partition_id` over a re-executed range shuffle is not guaranteed
@@ -97,11 +88,18 @@ def assign_shards(
     orderable type (string/long/timestamp).
 
     num_buckets defaults to spark.sql.shuffle.partitions; raise it so
-    #rows/num_buckets fits one sort/cumsum task comfortably. levels=2
-    adds a recursive prefix pass over super-buckets of `fanout` buckets —
-    needed only once #buckets itself outgrows a single task (~10^7)."""
-    import numpy as np  # noqa: PLC0415
+    #rows/num_buckets fits one window task comfortably. levels=2 adds a
+    recursive prefix pass over super-buckets of `fanout` buckets —
+    needed only once #buckets itself outgrows a single task (~10^7).
 
+    The within-bucket window's hash Exchange looks redundant (the range
+    shuffle already co-located each bucket) but replacing it with a
+    zero-shuffle sortWithinPartitions + Arrow mapInPandas streaming
+    cumsum measured SLOWER twice — ~1.7x standalone and ~1.3-1.8x even
+    inside assign_shards_atomic where the Arrow crossing is already paid
+    (interleaved A/B at 8 and 32 cores, BENCH/ADJUDICATION_r05.md): the
+    Exchange moves compact (key, int64) rows and the fold stays in
+    whole-stage codegen. Don't re-try without new evidence."""
     w = (weight_col if weight_col is not None else F.col("n_tokens")).alias("_w")
     if num_buckets is None:
         num_buckets = int(
@@ -110,42 +108,22 @@ def assign_shards(
     base = (
         df.select(F.col(key_col).alias("_k"), w)
         .repartitionByRange(num_buckets, "_k")
-        .sortWithinPartitions("_k")
         .withColumn("_b", F.spark_partition_id().cast("long"))
     )
     from ..cache import track_persist  # noqa: PLC0415
 
-    # persisted: _b (spark_partition_id over a re-executed shuffle is not
-    # branch-stable) AND the in-partition sort order both feed two plan
-    # branches (subtotals; the streaming cumsum below)
     base = track_persist(base)
     bucket_tot = base.groupBy("_b").agg(F.sum("_w").alias("_bt"))
     offsets = _bucket_offsets(bucket_tot, levels, fanout)
-    dtypes = dict(base.dtypes)
-    floaty = dtypes["_w"] in ("float", "double")
-    np_dt = "float64" if floaty else "int64"
-    prefix_t = "double" if floaty else "bigint"
-    out_schema = f"_k {dtypes['_k']}, _w {dtypes['_w']}, _prefix {prefix_t}"
-
-    # within-bucket running sum excluding self: the broadcast join is
-    # map-side (partitioning + sort order preserved), so each mapInPandas
-    # partition sees exactly one bucket's rows in key order and streams a
-    # cumsum across its Arrow batches — no second full-data exchange
-    def cum(batches):
-        run = 0.0 if floaty else 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            wv = pdf["_w"].to_numpy(dtype=np_dt)
-            excl = np.concatenate(([0], np.cumsum(wv)[:-1]))
-            yield pdf[["_k", "_w"]].assign(
-                _prefix=pdf["_off"].to_numpy(dtype=np_dt) + run + excl
-            )
-            run += wv.sum()
-
+    # within-bucket running sum excluding self: parallel window per bucket
+    wd = Window.partitionBy("_b").orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     return (
         base.join(F.broadcast(offsets), "_b")
-        .mapInPandas(cum, schema=out_schema)
+        .withColumn(
+            "_prefix", F.col("_off") + F.coalesce(F.sum("_w").over(wd), F.lit(0))
+        )
         .select(
             F.col("_k").alias(key_col),
             F.col("_w").alias("weight"),
