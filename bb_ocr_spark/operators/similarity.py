@@ -1705,3 +1705,193 @@ def recommend_pq_encoding(
         "mean_residual_sq": round(r2, 6),
         "encoding": "residual" if r2 < 1.0 else "direct",
     }
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic near-dup
+    pruning: cluster embeddings with spherical k-means, then inside each
+    cluster mark as duplicate every item whose cosine to ANY item ordered
+    before it is >= threshold. The within-cluster order is
+    (centroid-cosine ASC, id ASC), so the kept representative of each
+    tight epsilon-group is the one FARTHEST from its centroid — the
+    paper's low-centroid-similarity keeper rule (their best-performing
+    variant for downstream diversity). The rule is pairwise against all
+    earlier items (kept or removed), matching the reference SemDeDup
+    implementation — non-cascading, hence order-parallel.
+
+    Returns ALL corpus rows: (vec_id, cluster, ccos, is_dup) where ccos =
+    round(cosine(vec, centroid[cluster]), 6); filter `~is_dup` for the
+    pruned corpus. Cluster assignment reuses the shared IVF coarse-assign
+    rule (raw dots rounded to 9dp, ties -> highest index) so one centroid
+    model serves both this operator and the ANN tiers.
+
+    Scale shape: the only full-data shuffles are the cluster-keyed
+    self-join and the dup-id distinct; both move (id, cluster, small)
+    rows, with vectors carried only into the pair filter. Per-cluster
+    pairing is O(c^2): SemDeDup's own recipe keeps c bounded by scaling
+    n_clusters with the corpus (they use ~50k clusters at 10^8 docs, c ~
+    2k). For skewed clusterings, max_cluster excludes clusters above the
+    cap from pairing entirely (their rows come back is_dup=false — a
+    deliberate, observable false-negative, the same philosophy as
+    embedding_dup_pairs' bucket cap: a cluster that big IS the finding;
+    re-cluster it with a larger n_clusters rather than emitting c^2/2
+    pairs). None disables the cap.
+
+    The assigned frame feeds both self-join sides and the final join —
+    persisted via cache.track_persist (release with release_persisted)."""
+    from ..cache import track_persist  # noqa: PLC0415
+
+    cents = _centroids(dim, n_clusters) if centroids is None else centroids
+    a = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    top = F.array_max(_centroid_scores_col(F.col("vec"), cents))
+    cent_lookup = _lit_doubles([list(map(float, c)) for c in cents])
+    a = (
+        a.withColumn("_t", top)
+        .withColumn("cluster", F.col("_t")["idx"].cast("bigint"))
+        .withColumn(
+            "ccos",
+            F.round(
+                cosine_col(
+                    F.col("vec"),
+                    F.element_at(cent_lookup, F.col("cluster").cast("int") + 1),
+                ),
+                6,
+            ),
+        )
+        .select("vec_id", "vec", "cluster", "ccos")
+    )
+    a = track_persist(a)
+    eligible = a
+    if max_cluster is not None:
+        hot = (
+            a.groupBy("cluster")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_cluster)
+            .select("cluster")
+        )
+        eligible = a.join(hot, "cluster", "left_anti")
+    x = eligible.alias("x")
+    y = eligible.alias("y")
+    earlier = (F.col("x.ccos") < F.col("y.ccos")) | (
+        (F.col("x.ccos") == F.col("y.ccos"))
+        & (F.col("x.vec_id") < F.col("y.vec_id"))
+    )
+    dup_ids = (
+        x.join(y, (F.col("x.cluster") == F.col("y.cluster")) & earlier)
+        .filter(
+            F.round(cosine_col(F.col("x.vec"), F.col("y.vec")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("y.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.join(dup_ids.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "ccos",
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    parquet_path: str,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int | None = None,
+    n_planted: int = 0,
+    table: str = "embeddings",
+    sample_cap: int = 4096,
+    seed: int = config.SEED,
+) -> str:
+    """DuckDB SQL recomputing semantic_dedup EXACTLY: centroids retrained
+    from the same sorted sample via the shared kmeans_numpy core, cluster
+    assignment replaying the coarse-assign rule (round-9 dots, ties ->
+    highest index via list_reverse/list_position), centroid cosine and
+    pair cosines both rounded to 6 like the other embedding oracles, the
+    (ccos ASC, id ASC) earlier-item EXISTS, and the max_cluster HAVING
+    exclusion. n_planted > 0 adds the same scaled near-dup rows
+    (vec_id + 100000, x * 1.001) the query side plants."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    pdf = (
+        pd.read_parquet(parquet_path, columns=["vec_id", "embedding"])
+        .sort_values("vec_id")
+        .head(sample_cap)
+    )
+    xs = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    cents = kmeans_numpy(xs, n_clusters, seed=seed)
+    ds_terms = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(float(v)) for v in c)
+        + "]), 9)"
+        for c in cents
+    )
+    cent_rows = ",\n    ".join(
+        f"({i}, [" + ", ".join(repr(float(v)) for v in c) + "])"
+        for i, c in enumerate(cents)
+    )
+    planted = (
+        f"""
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001) AS v
+  FROM {table} WHERE vec_id < {n_planted}"""
+        if n_planted
+        else ""
+    )
+    cap_cte = (
+        f"""eligible AS (
+  SELECT a.* FROM scored a
+  LEFT JOIN (SELECT cluster FROM scored
+             GROUP BY cluster HAVING count(*) > {max_cluster}) h
+    ON a.cluster = h.cluster
+  WHERE h.cluster IS NULL
+)"""
+        if max_cluster is not None
+        else "eligible AS (SELECT * FROM scored)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}{planted}
+), cents(idx, cv) AS (
+  VALUES
+    {cent_rows}
+), dots AS (
+  SELECT vec_id, v, [{ds_terms}] AS ds FROM base
+), assigned AS (
+  SELECT vec_id, v,
+         CAST({n_clusters} - list_position(list_reverse(ds), list_max(ds))
+              AS BIGINT) AS cluster
+  FROM dots
+), scored AS (
+  SELECT a.vec_id, a.v, a.cluster,
+         round(list_cosine_similarity(a.v, c.cv), 6) AS ccos
+  FROM assigned a JOIN cents c ON c.idx = a.cluster
+), {cap_cte},
+dups AS (
+  SELECT DISTINCT y.vec_id
+  FROM eligible x JOIN eligible y
+    ON x.cluster = y.cluster
+   AND (x.ccos < y.ccos OR (x.ccos = y.ccos AND x.vec_id < y.vec_id))
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+)
+SELECT s.vec_id, s.cluster, s.ccos,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM scored s LEFT JOIN dups d ON d.vec_id = s.vec_id
+"""

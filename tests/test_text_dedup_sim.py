@@ -1278,3 +1278,49 @@ def test_recommend_pq_encoding_crossover(spark):
     ri = recommend_pq_encoding(iso, ci)
     assert rt["encoding"] == "residual" and rt["mean_residual_sq"] < 1.0
     assert ri["encoding"] == "direct" and ri["mean_residual_sq"] >= 1.0
+
+
+def test_semantic_dedup_keeper_and_cap(spark):
+    """SemDeDup keeper rule: scaled copies share a direction, so their
+    round-6 centroid cosines tie and the id ASC tie-break keeps the
+    LOWEST id; every later member of the tight group is marked dup.
+    max_cluster excludes oversized clusters from pairing wholesale."""
+    import numpy as np
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x * 1.001) for x in base]),
+        (2, [float(x * 0.999) for x in base]),
+        # far-away singleton: lands wherever, never a dup
+        (3, [float(x) for x in -base]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.stack([base / np.linalg.norm(base), -base / np.linalg.norm(base)])
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, dim=8, n_clusters=2, threshold=0.99, centroids=cents
+        ).collect()
+    }
+    release_persisted()
+    assert not out[0]["is_dup"]          # keeper: lowest id of the tied trio
+    assert out[1]["is_dup"] and out[2]["is_dup"]
+    assert not out[3]["is_dup"]
+    assert out[0]["cluster"] == out[1]["cluster"] == out[2]["cluster"]
+    assert out[3]["cluster"] != out[0]["cluster"]
+
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, dim=8, n_clusters=2, threshold=0.99, centroids=cents,
+            max_cluster=2,
+        ).collect()
+    }
+    release_persisted()
+    # the trio's cluster (3 > cap) is excluded from pairing: no dups at all
+    assert not any(r["is_dup"] for r in capped.values())
