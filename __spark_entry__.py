@@ -2444,6 +2444,65 @@ def _oracle_semantic_dedup() -> str:
     )
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style per-source head/middle/tail terciles by unigram
+    # surprisal; thresholds fit on an md5-hash sample exactly as the
+    # operator documents. sample_mod=2 so every source in the small gate
+    # corpus is sampled (the 'unsampled' branch is unit-tested instead).
+    from bb_ocr_spark.operators.search import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir), sample_mod=2)
+
+
+def _oracle_perplexity_buckets() -> str:
+    from bb_ocr_spark.functions.sampling import hash_bucket_sql
+
+    keep = hash_bucket_sql("doc_id", 2, "ppl")
+    return f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM tk GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM vocab
+), sc AS (
+  SELECT id,
+         CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lp
+  FROM tk JOIN vocab USING (token) CROSS JOIN tot
+), per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS nt, CAST(sum(lp) AS BIGINT) AS s
+  FROM sc GROUP BY id
+), sur AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+         CASE WHEN nt > 0 THEN round(s / (nt * 1000000.0), 6)
+              ELSE 0.0 END AS mean_surprisal_nats
+  FROM documents d LEFT JOIN per ON per.id = d.doc_id
+), samp AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY mean_surprisal_nats, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM sur WHERE {keep} = 0
+), thr AS (
+  SELECT source,
+         min(CASE WHEN rn = (n + 2) // 3 THEN mean_surprisal_nats END) AS t1,
+         min(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_surprisal_nats END) AS t2
+  FROM samp GROUP BY source
+)
+SELECT sur.doc_id, sur.source, sur.n_tokens, sur.mean_surprisal_nats,
+       CASE WHEN t1 IS NULL THEN 'unsampled'
+            WHEN mean_surprisal_nats <= t1 THEN 'head'
+            WHEN mean_surprisal_nats <= t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM sur LEFT JOIN thr USING (source)
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-gated queries OUTSIDE the driver's 50-slot window
     (CORRECTNESS_r04 verified only the first 50 queries() entries, so
@@ -2457,6 +2516,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "source_mix": _q_source_mix,
         "semantic_dedup": _q_semantic_dedup,
+        "perplexity_buckets": _q_perplexity_buckets,
     }
 
 
@@ -2465,4 +2525,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "json_extract": _ORACLE_JSON_EXTRACT,
         "source_mix": _oracle_source_mix(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        "perplexity_buckets": _oracle_perplexity_buckets(),
     }

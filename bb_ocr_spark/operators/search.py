@@ -288,3 +288,90 @@ def unigram_surprisal(
         .otherwise(F.lit(0.0))
         .alias("mean_surprisal_nats"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sample_mod: int = 8,
+    salt: str = "ppl",
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020,
+    arXiv:1911.00359): per source, docs are split into fluency terciles
+    by language-model score — here the corpus-trained unigram surprisal
+    (unigram_surprisal), the cheap end of the same perplexity-filter
+    family. head = lowest mean surprisal (most fluent), tail = highest;
+    pretraining pipelines keep head+middle and downweight or drop tail.
+
+    Tercile THRESHOLDS are fit on a deterministic md5-hash sample
+    (hash_bucket_col(id, sample_mod, salt) == 0, ~1/sample_mod of docs) —
+    exactly CCNet's practice of fitting thresholds on a sample rather
+    than sorting the full corpus. t1/t2 are the sampled means ranked
+    ceil(n/3) / ceil(2n/3) by (mean ASC, id ASC); every doc is then
+    labeled by comparison: head iff mean <= t1, middle iff mean <= t2,
+    else tail. A source with NO sampled docs (tiny source + coarse
+    sample_mod) gets the label 'unsampled' — an explicit, deterministic
+    outcome instead of a silent guess; lower sample_mod to cover it.
+
+    Scale shape: the surprisal pass is the distributed token pipeline of
+    unigram_surprisal (shuffles on tokens/ids only); the ranking window
+    runs over the SAMPLE, so its per-source task holds ~n_source /
+    sample_mod rows (tighten sample_mod for huge sources); thresholds
+    are a tiny per-source frame broadcast into the final labeling join.
+    The full corpus is never globally sorted. Deterministic at any
+    parallelism: the sample is keyed on md5(id), ranks tie-break on id,
+    and all compared values are the round-6 doubles the surprisal
+    operator already pins cross-engine.
+
+    Returns (id_col, source, n_tokens, mean_surprisal_nats, ppl_bucket)."""
+    from ..cache import track_persist  # noqa: PLC0415
+    from ..functions.sampling import hash_bucket_col  # noqa: PLC0415
+
+    sur = unigram_surprisal(docs, id_col=id_col, text_col=text_col)
+    scored = track_persist(
+        sur.join(docs.select(id_col, source_col), id_col).select(
+            id_col, source_col, "n_tokens", "mean_surprisal_nats"
+        )
+    )
+    sample = scored.filter(
+        hash_bucket_col(F.col(id_col), sample_mod, salt) == 0
+    )
+    wr = Window.partitionBy(source_col).orderBy(
+        F.asc("mean_surprisal_nats"), F.asc(id_col)
+    )
+    ranked = sample.withColumn("_rn", F.row_number().over(wr))
+    n_per = sample.groupBy(source_col).agg(F.count("*").alias("_n"))
+    ks = n_per.select(
+        source_col,
+        F.floor((F.col("_n") + 2) / 3).cast("int").alias("_k1"),
+        F.floor((2 * F.col("_n") + 2) / 3).cast("int").alias("_k2"),
+    )
+    thr = (
+        ranked.join(F.broadcast(ks), source_col)
+        .filter((F.col("_rn") == F.col("_k1")) | (F.col("_rn") == F.col("_k2")))
+        .groupBy(source_col)
+        .agg(
+            F.min(
+                F.when(F.col("_rn") == F.col("_k1"), F.col("mean_surprisal_nats"))
+            ).alias("_t1"),
+            F.min(
+                F.when(F.col("_rn") == F.col("_k2"), F.col("mean_surprisal_nats"))
+            ).alias("_t2"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), source_col, "left")
+        .select(
+            id_col,
+            F.col(source_col).alias("source"),
+            "n_tokens",
+            "mean_surprisal_nats",
+            F.when(F.col("_t1").isNull(), F.lit("unsampled"))
+            .when(F.col("mean_surprisal_nats") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("mean_surprisal_nats") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

@@ -1324,3 +1324,37 @@ def test_semantic_dedup_keeper_and_cap(spark):
     release_persisted()
     # the trio's cluster (3 > cap) is excluded from pairing: no dups at all
     assert not any(r["is_dup"] for r in capped.values())
+
+
+def test_perplexity_buckets_terciles_and_unsampled(spark):
+    """Full sampling (sample_mod=1) gives exact per-source terciles with
+    head = lowest mean surprisal; a source whose docs all miss the hash
+    sample gets the explicit 'unsampled' label."""
+    import hashlib
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.search import perplexity_buckets
+
+    # six docs of one source with strictly different token-rarity mixes
+    common = "the " * 20
+    rows = [(i, (common + f"rare{i}x " * (i + 1)).strip(), "a") for i in range(6)]
+    # one doc in source b whose md5 bucket at mod=1000003 is nonzero
+    bid = 7
+    bucket = (
+        int(hashlib.md5(f"ppl{bid}".encode()).hexdigest()[:15], 16) % 1000003
+    )
+    assert bucket != 0  # fixed input — if this ever fails, pick another id
+    rows.append((bid, "some other text entirely", "b"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = perplexity_buckets(df, sample_mod=1).collect()
+    release_persisted()
+    a = sorted((r for r in out if r["source"] == "a"),
+               key=lambda r: (r["mean_surprisal_nats"], r["doc_id"]))
+    labels = [r["ppl_bucket"] for r in a]
+    assert labels == ["head", "head", "middle", "middle", "tail", "tail"]
+
+    out2 = perplexity_buckets(df, sample_mod=1000003).collect()
+    release_persisted()
+    b = [r for r in out2 if r["source"] == "b"]
+    assert b[0]["ppl_bucket"] == "unsampled"
