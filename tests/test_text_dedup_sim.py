@@ -1358,3 +1358,37 @@ def test_perplexity_buckets_terciles_and_unsampled(spark):
     release_persisted()
     b = [r for r in out2 if r["source"] == "b"]
     assert b[0]["ppl_bucket"] == "unsampled"
+
+
+def test_dsir_select_discriminates_and_empty_sample(spark):
+    """DSIR weights rank target-like raw docs above junk (positive vs
+    negative log importance weight) and the keep flag splits exactly
+    there at keep_ratio=(1,2) with full sampling; an EMPTY hash sample
+    falls back to keep-all, explicitly."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.selection import dsir_select
+
+    rows = [(100 + i, "the quick history of science and art " * 3, "tgt")
+            for i in range(10)]
+    rows += [(i, f"the quick history of science and art volume {i}", "raw")
+             for i in range(10)]
+    rows += [(i, f"zzz spam buy now click here offer {i}", "raw")
+             for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tgt = F.col("source") == "tgt"
+
+    out = {r["doc_id"]: r for r in
+           dsir_select(df, tgt, sample_mod=1, keep_ratio=(1, 2)).collect()}
+    release_persisted()
+    assert len(out) == 20  # raw docs only
+    for i in range(10):
+        assert out[i]["dsir_logw_micro"] > 0 and out[i]["selected"]
+    for i in range(10, 20):
+        assert out[i]["dsir_logw_micro"] < 0 and not out[i]["selected"]
+
+    # sample_mod huge -> no sampled doc -> deterministic keep-all
+    out2 = dsir_select(df, tgt, sample_mod=1_000_003).collect()
+    release_persisted()
+    assert all(r["selected"] for r in out2)
