@@ -95,7 +95,9 @@ def dsir_select(
             tokens_col(F.col(text_col)).alias("_tk"),
         )
     )
-    occ = (
+    # persisted: BOTH the distribution fit and the scoring join read occ,
+    # and the per-gram md5 is the dominant map cost — hash once, not twice
+    occ = track_persist(
         base.select(
             "id",
             "_tgt",
