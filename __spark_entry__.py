@@ -2573,6 +2573,69 @@ FROM scored CROSS JOIN thr
 """
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full Gopher rule set (Rae et al. 2021 A1.1) per document;
+    # keep decisions are exact-integer so the oracle matches bit-for-bit
+    from bb_ocr_spark.functions.text import gopher_quality_cols, tokens_col
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "text", tokens_col(F.col("text")).alias("_tk")
+    )
+    return base.select(
+        "doc_id", *gopher_quality_cols(F.col("text"), F.col("_tk"))
+    )
+
+
+_ORACLE_GOPHER_QUALITY = """
+WITH tk AS (
+  SELECT doc_id,
+         text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     x -> trim(x) <> '') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n,
+         coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS sum_len,
+         (len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) // 3 AS n_sym,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             x -> substr(trim(x), 1, 1) IN ('•', '-', '*'))) AS n_bullet,
+         len(list_filter(lines,
+             x -> trim(x) LIKE '%...' OR trim(x) LIKE '%…')) AS n_ell_end,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(t, s))) AS n_stop
+  FROM tk
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       round(CASE WHEN n > 0 THEN sum_len / CAST(n AS DOUBLE)
+                  ELSE 0 END, 6) AS mean_word_len,
+       round(CASE WHEN n > 0 THEN n_sym / CAST(n AS DOUBLE)
+                  ELSE 0 END, 6) AS symbol_ratio,
+       round(CASE WHEN n_lines > 0 THEN n_bullet / CAST(n_lines AS DOUBLE)
+                  ELSE 0 END, 6) AS bullet_line_frac,
+       round(CASE WHEN n_lines > 0 THEN n_ell_end / CAST(n_lines AS DOUBLE)
+                  ELSE 0 END, 6) AS ellipsis_line_frac,
+       round(CASE WHEN n > 0 THEN n_alpha / CAST(n AS DOUBLE)
+                  ELSE 0 END, 6) AS alpha_word_frac,
+       CAST(n_stop AS BIGINT) AS n_stopword_hits,
+       (n >= 50 AND n <= 100000
+        AND sum_len >= 3 * n AND sum_len <= 10 * n
+        AND 10 * n_sym <= n
+        AND 10 * n_bullet <= 9 * n_lines
+        AND 10 * n_ell_end <= 3 * n_lines
+        AND 5 * n_alpha >= 4 * n
+        AND n_stop >= 2) AS gopher_keep
+FROM m
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-gated queries OUTSIDE the driver's 50-slot window
     (CORRECTNESS_r04 verified only the first 50 queries() entries, so
@@ -2588,6 +2651,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
         "dsir_select": _q_dsir_select,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -2598,4 +2662,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "semantic_dedup": _oracle_semantic_dedup(),
         "perplexity_buckets": _oracle_perplexity_buckets(),
         "dsir_select": _oracle_dsir_select(),
+        "gopher_quality": _ORACLE_GOPHER_QUALITY,
     }

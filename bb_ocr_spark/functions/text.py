@@ -188,6 +188,97 @@ def quality_cols(text: Column, toks: Column | None = None) -> list[Column]:
     ]
 
 
+# Gopher rule constants (Rae et al. 2021, arXiv:2112.11446 Appendix A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_BULLETS = ["•", "-", "*"]
+
+
+def gopher_quality_cols(text: Column, toks: Column | None = None) -> list[Column]:
+    """The FULL Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A1.1) — the standard pretraining filter quality_cols only
+    approximates. A doc is kept iff ALL of:
+
+      1. word count in [50, 100000],
+      2. mean word length in [3, 10] characters,
+      3. symbol-to-word ratio ('#' and '...') <= 0.1,
+      4. <= 90% of (non-blank) lines start with a bullet,
+      5. <= 30% of lines end with an ellipsis,
+      6. >= 80% of words contain an alphabetic character,
+      7. at least 2 of Gopher's 8 stop words appear.
+
+    Every threshold is evaluated in EXACT integer arithmetic (e.g.
+    mean length >= 3  <=>  sum_len >= 3*n_words), so the keep decision
+    is bit-identical in any engine; the emitted ratio columns are
+    round-6 doubles for display only. Pure narrow expressions — zero
+    shuffle, codegen-friendly, pushdown-safe.
+
+    Pass a pre-materialized token array as `toks` from wide projections
+    (no CSE across HOF lambdas)."""
+    if toks is None:
+        toks = tokens_col(text)
+    n = F.size(toks)
+    sum_len = F.coalesce(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    n_sym = (n_hash + n_ell).cast("long")
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.trim(ln) != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.trim(ln), 1, 1).isin(*GOPHER_BULLETS),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    r6 = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+    keep = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (sum_len >= 3 * n)
+        & (sum_len <= 10 * n)
+        & (10 * n_sym <= n)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ell_end <= 3 * n_lines)
+        & (5 * n_alpha >= 4 * n)
+        & (n_stop >= 2)
+    )
+    return [
+        n.cast("long").alias("n_words"),
+        r6(sum_len, n).alias("mean_word_len"),
+        r6(n_sym, n).alias("symbol_ratio"),
+        r6(n_bullet, n_lines).alias("bullet_line_frac"),
+        r6(n_ell_end, n_lines).alias("ellipsis_line_frac"),
+        r6(n_alpha, n).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopword_hits"),
+        keep.alias("gopher_keep"),
+    ]
+
+
 def fingerprint_md5_col(text: Column) -> Column:
     """md5 of the whitespace-normalized lowercased text — the exact-dedup key."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

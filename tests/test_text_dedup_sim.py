@@ -1392,3 +1392,41 @@ def test_dsir_select_discriminates_and_empty_sample(spark):
     out2 = dsir_select(df, tgt, sample_mod=1_000_003).collect()
     release_persisted()
     assert all(r["selected"] for r in out2)
+
+
+def test_gopher_quality_each_rule(spark):
+    """One planted doc per Gopher rule: the clean doc passes, each other
+    doc fails exactly its targeted rule."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.functions.text import gopher_quality_cols
+
+    good = ("the quick brown fox jumps over that lazy dog and we have "
+            "fun with words here today because everything reads well "
+            "and the story continues with more of the same plain prose "
+            "until the count of words passes fifty which it now does "
+            "with room to spare for the final check of this test") \
+        .replace("\n", " ")
+    pad = "the and of to that have with be plain words "  # stopword-rich
+    rows = [
+        (0, good),                                  # keep
+        (1, "too short to pass the word count"),    # rule 1: < 50 words
+        (2, (pad * 5) + "#" * 40 + " " + "# " * 30),  # rule 3: symbols
+        (3, "\n".join(["- bullet item " + pad] * 10) + "\nplain " + pad * 4),
+        (4, "\n".join([pad + " trailing..."] * 5) + "\n" + pad * 5),
+        (5, (pad * 5) + " ".join(str(i) for i in range(30))),  # rule 6
+        (6, ("lorem ipsum dolor sit amet " * 12)),  # rule 7: no stopwords
+        (7, pad * 3 + " " + " ".join(["supercalifragilistic"] * 40)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *gopher_quality_cols(F.col("text"))).collect()}
+
+    assert out[0]["gopher_keep"]
+    assert not out[1]["gopher_keep"] and out[1]["n_words"] < 50
+    assert not out[2]["gopher_keep"] and out[2]["symbol_ratio"] > 0.1
+    assert not out[3]["gopher_keep"] and out[3]["bullet_line_frac"] > 0.9
+    assert not out[4]["gopher_keep"] and out[4]["ellipsis_line_frac"] > 0.3
+    assert not out[5]["gopher_keep"] and out[5]["alpha_word_frac"] < 0.8
+    assert not out[6]["gopher_keep"] and out[6]["n_stopword_hits"] < 2
+    assert not out[7]["gopher_keep"] and out[7]["mean_word_len"] > 10.0
