@@ -2636,6 +2636,21 @@ FROM m
 """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE vocabulary learning (Sennrich et al. 2016): 8
+    # merge rounds over the corpus; winners stay as broadcast 1-row
+    # frames — nothing visits the driver but the loop counter
+    from bb_ocr_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_docs(spark, sf_dir), num_merges=8)
+
+
+def _oracle_bpe_merges() -> str:
+    from bb_ocr_spark.operators.bpe import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql(num_merges=8)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-gated queries OUTSIDE the driver's 50-slot window
     (CORRECTNESS_r04 verified only the first 50 queries() entries, so
@@ -2652,6 +2667,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "dsir_select": _q_dsir_select,
         "gopher_quality": _q_gopher_quality,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -2663,4 +2679,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _oracle_perplexity_buckets(),
         "dsir_select": _oracle_dsir_select(),
         "gopher_quality": _ORACLE_GOPHER_QUALITY,
+        "bpe_merges": _oracle_bpe_merges(),
     }

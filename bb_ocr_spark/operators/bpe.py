@@ -1,0 +1,160 @@
+"""Distributed BPE vocabulary learning (Sennrich et al. 2016,
+arXiv:1508.07909): iteratively count adjacent symbol pairs across the
+corpus, merge the most frequent pair everywhere, repeat.
+
+This is the tokenizer-TRAINING step of an LLM data pipeline (the
+counting counterpart of functions/text.py's bpe_ish_token_count_col,
+which only applies a fixed regex). Word-level variant: the initial
+symbols are whitespace tokens and merges build multi-word units —
+the same algorithm BPE uses on characters, at the granularity the
+corpus tables here store.
+
+Per round, on a corpus kept as one normalized symbol STRING per doc:
+  1. pair counts: explode each doc's adjacent (symbol_i, symbol_i+1)
+     pairs and count — a map-side-combined groupBy whose output is
+     bounded by the number of DISTINCT adjacent pairs, not corpus size;
+  2. argmax pair under (count DESC, pair ASC) — TakeOrderedAndProject
+     (per-partition heaps, no global sort), kept as a 1-ROW FRAME that
+     is cross-join-broadcast into the merge step: the winning pair
+     never visits the driver;
+  3. merge: string replace of ' l r ' with ' lr ' on the padded doc
+     string — replace() scans left-to-right non-overlapping in Spark
+     and ANSI SQL alike, which IS BPE's greedy application order
+     ("a a a" + merge (a,a) -> "aa a", pinned by test);
+  4. localCheckpoint(eager) the new state — the repo's iterative-loop
+     discipline (dedup_clusters): without it the logical plan doubles
+     per round.
+
+Determinism: counts are exact integers, the argmax tie-break is pinned,
+and merge application is the engines' shared replace semantics — so an
+unrolled-stage DuckDB oracle replays every round value-exactly.
+
+Scale: each round shuffles only the distinct-pair count table and one
+1-row broadcast; the corpus itself never shuffles (narrow replace +
+checkpoint). Driver holds nothing but the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _pad(col):
+    return F.concat(F.lit(" "), col, F.lit(" "))
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the top `num_merges` BPE merges over the corpus.
+
+    Returns one row per learned merge:
+      (merge_rank:int 1-based, left_sym:string, right_sym:string,
+       pair_count:long  — the pair's corpus count when it won).
+    Rounds after the corpus runs out of repeated pairs still emit the
+    (count DESC, pair ASC) argmax — deterministic down to count 1; if
+    NO pair exists at all the frame just has fewer rows."""
+    spark = docs.sparkSession
+    state = docs.select(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+            "s"
+        )
+    ).filter(F.col("s") != "").localCheckpoint(eager=True)
+
+    out: DataFrame | None = None
+    for rank in range(1, num_merges + 1):
+        # loop-local persist, released at the end of the round (both
+        # consumers — the count job and nothing else — are done by then)
+        toks = state.select(F.split("s", " ").alias("t")).persist()
+        pairs = toks.select(
+            F.explode_outer(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.array_join(F.slice("t", i, 2), " "),
+                    ),
+                )
+            ).alias("pair")
+        ).filter(F.col("pair").isNotNull())
+        # eager checkpoint: the count job runs ONCE per round (both the
+        # merge step and the output row read the checkpointed 1-row frame)
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .select(F.lit(rank).alias("merge_rank"), "pair", "pair_count")
+            .localCheckpoint(eager=True)
+        )
+        # merge applied corpus-wide with the winner as a broadcast row —
+        # the pair never visits the driver
+        state = (
+            state.crossJoin(F.broadcast(top))
+            .select(
+                F.trim(
+                    F.replace(
+                        _pad(F.col("s")),
+                        _pad(F.col("pair")),
+                        _pad(F.replace(F.col("pair"), F.lit(" "), F.lit(""))),
+                    )
+                ).alias("s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        toks.unpersist()
+        row = top.select(
+            "merge_rank",
+            F.split("pair", " ").getItem(0).alias("left_sym"),
+            F.split("pair", " ").getItem(1).alias("right_sym"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "merge_rank int, left_sym string, right_sym string, "
+            "pair_count long",
+        )
+    return out
+
+
+def bpe_merges_oracle_sql(num_merges: int = 8) -> str:
+    """Unrolled-stage DuckDB replay of learn_bpe_merges over the
+    `documents` view: per round, the same pair enumeration, the same
+    (count DESC, pair ASC) argmax, the same padded-replace merge."""
+    ctes = [
+        "s0 AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        " AS s FROM documents WHERE trim(text) <> '')"
+    ]
+    for r in range(1, num_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(CASE WHEN len(t) >= 2 THEN
+             [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+           ELSE [] END) AS pair
+    FROM (SELECT string_split(s, ' ') AS t FROM {prev})
+  ) GROUP BY pair
+)"""
+        )
+        ctes.append(
+            f"m{r} AS (SELECT {r} AS merge_rank, pair, pair_count "
+            f"FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT trim(replace(' ' || s || ' ', "
+            f"' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')) AS s "
+            f"FROM {prev} CROSS JOIN m{r})"
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST(merge_rank AS INTEGER) AS merge_rank, "
+        f"string_split(pair, ' ')[1] AS left_sym, "
+        f"string_split(pair, ' ')[2] AS right_sym, pair_count FROM m{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals

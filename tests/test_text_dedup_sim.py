@@ -1430,3 +1430,20 @@ def test_gopher_quality_each_rule(spark):
     assert not out[5]["gopher_keep"] and out[5]["alpha_word_frac"] < 0.8
     assert not out[6]["gopher_keep"] and out[6]["n_stopword_hits"] < 2
     assert not out[7]["gopher_keep"] and out[7]["mean_word_len"] > 10.0
+
+
+def test_bpe_merges_greedy_and_tiebreak(spark):
+    """Greedy left-to-right application: 'a a a' + merge (a,a) leaves
+    'aa a' (count 2 -> then (aa,a)); ties on count break to the
+    alphabetically smallest pair."""
+    from bb_ocr_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    out = [tuple(r) for r in learn_bpe_merges(df, num_merges=2).collect()]
+    assert out == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+    df2 = spark.createDataFrame(
+        [(0, "b c"), (1, "a d")], "doc_id long, text string"
+    )
+    out2 = [tuple(r) for r in learn_bpe_merges(df2, num_merges=1).collect()]
+    assert out2 == [(1, "a", "d", 1)]
