@@ -279,6 +279,59 @@ def gopher_quality_cols(text: Column, toks: Column | None = None) -> list[Column
     ]
 
 
+def c4_clean_cols(text: Column) -> list[Column]:
+    """The C4 line/page cleaning rules (Raffel et al. 2020, §2.2), the
+    other canonical pretraining filter next to Gopher:
+
+      line KEPT iff it ends in terminal punctuation ('.', '!', '?',
+      '"'), has >= 5 whitespace words, and does not mention
+      'javascript' (case-insensitive);
+      page KEPT iff >= 3 lines survive, and the page contains neither
+      'lorem ipsum' nor a '{' (code marker).
+
+    (C4's cross-corpus three-sentence dedup is the separate
+    paragraph_dedup operator; its bad-words list is policy data, not an
+    algorithm, and is omitted.) Emits the TRANSFORM, not just a flag:
+    text_c4 is the kept lines rejoined — plus kept/dropped counts and
+    the page flag. Pure narrow expressions (nested HOF filter), exact
+    string semantics shared with ANSI SQL (LIKE has no engine variance),
+    zero shuffle."""
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.trim(ln) != ""
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            F.trim(ln).like("%.")
+            | F.trim(ln).like("%!")
+            | F.trim(ln).like("%?")
+            | F.trim(ln).like('%"')
+        )
+        & (
+            F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
+            >= 5
+        )
+        & ~F.lower(ln).contains("javascript"),
+    )
+    n_all = F.size(lines)
+    n_kept = F.size(kept)
+    page_keep = (
+        (n_kept >= 3)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return [
+        # explicit closure: F.trim has an optional 2nd param, and a bare
+        # F.trim here would become trim(elem, index) (arity inference)
+        F.array_join(F.transform(kept, lambda x: F.trim(x)), "\n").alias(
+            "text_c4"
+        ),
+        n_kept.cast("long").alias("c4_lines_kept"),
+        (n_all - n_kept).cast("long").alias("c4_lines_dropped"),
+        page_keep.alias("c4_keep"),
+    ]
+
+
 def fingerprint_md5_col(text: Column) -> Column:
     """md5 of the whitespace-normalized lowercased text — the exact-dedup key."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

@@ -1447,3 +1447,33 @@ def test_bpe_merges_greedy_and_tiebreak(spark):
     )
     out2 = [tuple(r) for r in learn_bpe_merges(df2, num_merges=1).collect()]
     assert out2 == [(1, "a", "d", 1)]
+
+
+def test_c4_clean_rules(spark):
+    """Line rules: terminal punctuation + >=5 words + no 'javascript';
+    page rules: >=3 kept lines, no 'lorem ipsum', no '{'."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.functions.text import c4_clean_cols
+
+    good_line = "this sentence has enough words to pass the filter."
+    rows = [
+        (0, "\n".join([good_line, good_line + "!", good_line + "?",
+                       "no terminal punctuation here at all",
+                       "short line.",
+                       "enable javascript in your browser please now."])),
+        (1, "\n".join([good_line] * 3) + "\nlorem ipsum dolor."),
+        (2, "\n".join([good_line] * 3) + "\nfunction f() { return 1; }"),
+        (3, "\n".join([good_line] * 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *c4_clean_cols(F.col("text"))).collect()}
+
+    assert out[0]["c4_lines_kept"] == 3 and out[0]["c4_lines_dropped"] == 3
+    assert out[0]["c4_keep"]
+    assert out[0]["text_c4"] == "\n".join(
+        [good_line, good_line + "!", good_line + "?"])
+    assert not out[1]["c4_keep"]          # lorem ipsum page
+    assert not out[2]["c4_keep"]          # '{' page
+    assert out[3]["c4_lines_kept"] == 2 and not out[3]["c4_keep"]  # <3 lines
