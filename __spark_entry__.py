@@ -2609,7 +2609,13 @@ WITH tk AS (
              x -> trim(x) LIKE '%...' OR trim(x) LIKE '%…')) AS n_ell_end,
          len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
          len(list_filter(['the','be','to','of','and','that','have','with'],
-             s -> list_contains(t, s))) AS n_stop
+             s -> list_contains(t, s))) AS n_stop,
+         len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+         coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+           AS line_chars,
+         coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+           - coalesce(list_sum(list_transform(list_distinct(lines),
+                                              x -> len(x))), 0) AS dup_chars
   FROM tk
 )
 SELECT doc_id,
@@ -2625,13 +2631,19 @@ SELECT doc_id,
        round(CASE WHEN n > 0 THEN n_alpha / CAST(n AS DOUBLE)
                   ELSE 0 END, 6) AS alpha_word_frac,
        CAST(n_stop AS BIGINT) AS n_stopword_hits,
+       round(CASE WHEN n_lines > 0 THEN n_dup_lines / CAST(n_lines AS DOUBLE)
+                  ELSE 0 END, 6) AS dup_line_frac,
+       round(CASE WHEN line_chars > 0 THEN dup_chars / CAST(line_chars AS DOUBLE)
+                  ELSE 0 END, 6) AS dup_line_char_frac,
        (n >= 50 AND n <= 100000
         AND sum_len >= 3 * n AND sum_len <= 10 * n
         AND 10 * n_sym <= n
         AND 10 * n_bullet <= 9 * n_lines
         AND 10 * n_ell_end <= 3 * n_lines
         AND 5 * n_alpha >= 4 * n
-        AND n_stop >= 2) AS gopher_keep
+        AND n_stop >= 2
+        AND 10 * n_dup_lines <= 3 * n_lines
+        AND 10 * dup_chars <= 2 * line_chars) AS gopher_keep
 FROM m
 """
 

@@ -206,7 +206,9 @@ def gopher_quality_cols(text: Column, toks: Column | None = None) -> list[Column
       4. <= 90% of (non-blank) lines start with a bullet,
       5. <= 30% of lines end with an ellipsis,
       6. >= 80% of words contain an alphabetic character,
-      7. at least 2 of Gopher's 8 stop words appear.
+      7. at least 2 of Gopher's 8 stop words appear,
+      8. duplicate-line fraction <= 0.30 (A1.2),
+      9. duplicate-line CHARACTER fraction <= 0.20 (A1.2).
 
     Every threshold is evaluated in EXACT integer arithmetic (e.g.
     mean length >= 3  <=>  sum_len >= 3*n_words), so the keep decision
@@ -253,6 +255,25 @@ def gopher_quality_cols(text: Column, toks: Column | None = None) -> list[Column
             lambda s: F.array_contains(toks, s),
         )
     )
+    # A1.2 repetition rules, line-level pair (duplicate-line fraction
+    # > 0.30 or duplicate-line CHAR fraction > 0.20 -> drop); the
+    # n-gram-family repetition rules are this repo's boilerplate_kgrams /
+    # substring_dedup operators' territory. Same set semantics as
+    # functions/scrub.py::repetition_cols, evaluated integer-exactly.
+    dlines = F.array_distinct(lines)
+    n_dup_lines = n_lines - F.size(dlines)
+    line_chars = F.coalesce(
+        F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ),
+        F.lit(0).cast("long"),
+    )
+    dup_chars = line_chars - F.coalesce(
+        F.aggregate(
+            dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ),
+        F.lit(0).cast("long"),
+    )
     r6 = lambda num, den: F.round(  # noqa: E731
         F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
     )
@@ -266,6 +287,8 @@ def gopher_quality_cols(text: Column, toks: Column | None = None) -> list[Column
         & (10 * n_ell_end <= 3 * n_lines)
         & (5 * n_alpha >= 4 * n)
         & (n_stop >= 2)
+        & (10 * n_dup_lines <= 3 * n_lines)
+        & (10 * dup_chars <= 2 * line_chars)
     )
     return [
         n.cast("long").alias("n_words"),
@@ -275,6 +298,8 @@ def gopher_quality_cols(text: Column, toks: Column | None = None) -> list[Column
         r6(n_ell_end, n_lines).alias("ellipsis_line_frac"),
         r6(n_alpha, n).alias("alpha_word_frac"),
         n_stop.cast("long").alias("n_stopword_hits"),
+        r6(n_dup_lines, n_lines).alias("dup_line_frac"),
+        r6(dup_chars, line_chars).alias("dup_line_char_frac"),
         keep.alias("gopher_keep"),
     ]
 

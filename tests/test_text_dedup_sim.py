@@ -1432,6 +1432,34 @@ def test_gopher_quality_each_rule(spark):
     assert not out[7]["gopher_keep"] and out[7]["mean_word_len"] > 10.0
 
 
+def test_gopher_repetition_rules(spark):
+    """A1.2 line-repetition rules: >30% duplicate lines (or >20% of line
+    chars inside duplicates) drops the doc; distinct-lined control
+    passes."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.functions.text import gopher_quality_cols
+
+    pad = "the and of to that have with be plain words "
+    uniq = [pad + f"line variant {i}" for i in range(10)]
+    rows = [
+        (0, "\n".join(uniq)),                          # keep
+        (1, "\n".join(uniq[:4] + [uniq[0]] * 6)),      # 6/10 dup lines
+        # one LONG line repeated once among short lines: char frac > 0.2
+        # while line frac stays <= 0.3
+        (2, "\n".join(uniq[:8] + [pad * 12] * 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *gopher_quality_cols(F.col("text"))).collect()}
+
+    assert out[0]["gopher_keep"] and out[0]["dup_line_frac"] == 0.0
+    assert not out[1]["gopher_keep"] and out[1]["dup_line_frac"] > 0.3
+    assert not out[2]["gopher_keep"]
+    assert out[2]["dup_line_frac"] <= 0.3
+    assert out[2]["dup_line_char_frac"] > 0.2
+
+
 def test_bpe_merges_greedy_and_tiebreak(spark):
     """Greedy left-to-right application: 'a a a' + merge (a,a) leaves
     'aa a' (count 2 -> then (aa,a)); ties on count break to the
