@@ -2700,6 +2700,140 @@ FROM k
 """
 
 
+def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated bigram-LM surprisal (Jelinek-Mercer lam=0.75 toward
+    # the bigram MLE, unigram backoff) — one rung up the CCNet ladder
+    # from unigram_surprisal; integer micro-nat discipline
+    from bb_ocr_spark.operators.search import bigram_surprisal
+
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+_ORACLE_BIGRAM_SURPRISAL = r"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), ev AS (
+  SELECT id,
+         CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev,
+         t[i] AS cur
+  FROM tk, unnest(range(1, len(t) + 1)) u(i)
+), cu AS (
+  SELECT cur AS token, count(*) AS cnt FROM ev GROUP BY cur
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM cu
+), cb AS (
+  SELECT prev, cur, count(*) AS bcnt FROM ev
+  WHERE prev IS NOT NULL GROUP BY prev, cur
+), scored AS (
+  SELECT ev.id,
+         CAST(round(
+           CASE WHEN ev.prev IS NULL
+             THEN -ln(CAST(cu1.cnt AS DOUBLE)
+                      / CAST(tot.n_corpus AS DOUBLE))
+             ELSE -ln(0.75 * (CAST(coalesce(cb.bcnt, 0) AS DOUBLE)
+                              / CAST(cu2.cnt AS DOUBLE))
+                      + 0.25 * (CAST(cu1.cnt AS DOUBLE)
+                                / CAST(tot.n_corpus AS DOUBLE)))
+           END * 1000000) AS BIGINT) AS lp
+  FROM ev
+  JOIN cu cu1 ON cu1.token = ev.cur
+  LEFT JOIN cu cu2 ON cu2.token = ev.prev
+  LEFT JOIN cb ON cb.prev = ev.prev AND cb.cur = ev.cur
+  CROSS JOIN tot
+), per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lp) AS BIGINT) AS s
+  FROM scored GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(s, 0) AS surprisal_micronats,
+       CASE WHEN n_tokens > 0
+            THEN round(s / (n_tokens * 1000000.0), 6)
+            ELSE 0.0 END AS mean_surprisal_nats
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per ON per.id = d.doc_id
+"""
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer application: learn the 8-merge BPE table on the corpus,
+    # then encode every doc with it in one zero-shuffle replace chain
+    # (the learn/apply pair of a real tokenizer pipeline)
+    from bb_ocr_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode(docs, learn_bpe_merges(docs, num_merges=8))
+    return enc.select(
+        "doc_id",
+        F.array_join("symbols", " ").alias("symbols_str"),
+        "n_symbols",
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    from bb_ocr_spark.operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(num_merges=8)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText-style hashed-bigram linear quality filter: broadcast
+    # weight-table model, integer micro-logit scoring, pure-integer
+    # keep decision (the learned-filter stage of GPT-3/CCNet curation)
+    from bb_ocr_spark.operators.selection import (
+        hashed_weights,
+        quality_classifier,
+    )
+
+    return quality_classifier(
+        _docs(spark, sf_dir), hashed_weights(spark), threshold_micro=0
+    )
+
+
+def _oracle_quality_classifier() -> str:
+    from bb_ocr_spark.functions.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("gram", 4096, "qc")
+    wexpr = hash_bucket_sql("b", 2001, "qcw")
+    return f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), gr AS (
+  SELECT id,
+         t || CASE WHEN len(t) >= 2 THEN
+                [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+              ELSE [] END AS g
+  FROM tk
+), occ AS (
+  SELECT id, {bucket} AS b
+  FROM (SELECT id, unnest(g) AS gram FROM gr)
+), w AS (
+  SELECT b AS bucket, CAST({wexpr} - 1000 AS BIGINT) AS weight_micro
+  FROM (SELECT unnest(range(4096)) AS b)
+), per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(weight_micro) AS BIGINT) AS s
+  FROM occ JOIN w ON w.bucket = occ.b GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_features, 0) AS BIGINT) AS n_features,
+       CAST(coalesce(s, 0) AS BIGINT) AS score_sum_micro,
+       (CASE WHEN coalesce(n_features, 0) > 0
+             THEN round(s / (n_features * 1000000.0), 6)
+             ELSE 0.0 END) + 0.0 AS mean_score,
+       (coalesce(n_features, 0) > 0 AND coalesce(s, 0) >= 0) AS qc_keep
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per ON per.id = d.doc_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-gated queries OUTSIDE the driver's 50-slot window
     (CORRECTNESS_r04 verified only the first 50 queries() entries, so
@@ -2718,6 +2852,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "bpe_merges": _q_bpe_merges,
         "c4_clean": _q_c4_clean,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "bpe_encode": _q_bpe_encode,
+        "quality_classifier": _q_quality_classifier,
     }
 
 
@@ -2731,4 +2868,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "gopher_quality": _ORACLE_GOPHER_QUALITY,
         "bpe_merges": _oracle_bpe_merges(),
         "c4_clean": _ORACLE_C4_CLEAN,
+        "bigram_surprisal": _ORACLE_BIGRAM_SURPRISAL,
+        "bpe_encode": _oracle_bpe_encode(),
+        "quality_classifier": _oracle_quality_classifier(),
     }

@@ -158,3 +158,98 @@ def bpe_merges_oracle_sql(num_merges: int = 8) -> str:
         for r in range(1, num_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table (the output of learn_bpe_merges) to
+    the corpus — the tokenizer-APPLICATION step that turns raw text into
+    the symbol sequences a training pipeline feeds downstream (shard
+    packing, vocab stats, token budgets).
+
+    Merges are applied in rank order, each as ONE padded string replace
+    with exactly the learn loop's semantics (left-to-right,
+    non-overlapping — "a a a" + (a,a) -> "aa a", pinned by test), so
+    encoding the training corpus with its own merges reproduces the
+    learn loop's final state symbol-for-symbol.
+
+    Returns (id_col, symbols:array<string>, n_symbols:long); empty/
+    whitespace-only docs encode to an empty array.
+
+    Scale shape: the merge table is a tokenizer MODEL — tiny, rank-
+    ordered — collected once and folded into a single narrow expression
+    chain: the corpus is encoded in one zero-shuffle stage, no join, no
+    state. At real vocab sizes (30k merges) the chain would be staged
+    with a localCheckpoint every few hundred merges to bound expression
+    depth; the loop below is that structure with one stage."""
+    ranked = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        F.lit(" "),
+    )
+    for left, right in ranked:
+        pair = f"{left} {right}"
+        s = F.replace(
+            s, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} ")
+        )
+    out = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.trim(s), " "), lambda t: t != "").alias("symbols"),
+    )
+    return out.select(
+        id_col,
+        "symbols",
+        F.size("symbols").cast("long").alias("n_symbols"),
+    )
+
+
+def bpe_encode_oracle_sql(num_merges: int = 8) -> str:
+    """Unrolled DuckDB replay of learn_bpe_merges + bpe_encode on the
+    `documents` view: the merge table is learned round-by-round exactly
+    as bpe_merges_oracle_sql does (empty docs contribute zero pairs, so
+    they can share the state chain), and each state s{r} carries doc_id
+    so the final state IS the per-doc encoding."""
+    ctes = [
+        "s0 AS (SELECT doc_id, ' ' || "
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+        " || ' ' AS s FROM documents)"
+    ]
+    for r in range(1, num_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(CASE WHEN len(t) >= 2 THEN
+             [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+           ELSE [] END) AS pair
+    FROM (SELECT list_filter(string_split(trim(s), ' '), x -> x <> '')
+          AS t FROM {prev})
+  ) GROUP BY pair
+)"""
+        )
+        ctes.append(
+            f"m{r} AS (SELECT pair FROM p{r} "
+            f"ORDER BY pair_count DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT doc_id, replace(s, "
+            f"' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s "
+            f"FROM {prev} CROSS JOIN m{r})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       trim(s) AS symbols_str,
+       CAST(len(list_filter(string_split(trim(s), ' '), x -> x <> ''))
+            AS BIGINT) AS n_symbols
+FROM s{num_merges}"""
+    )

@@ -375,3 +375,127 @@ def perplexity_buckets(
             .alias("ppl_bucket"),
         )
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram-LM surprisal per document — one rung up the
+    CCNet/perplexity-filter ladder from unigram_surprisal: each token
+    after the first is scored under the Jelinek-Mercer mixture
+    p(cur|prev) = lam * c(prev,cur)/c(prev) + (1-lam) * c(cur)/N, the
+    first token under the unigram p(cur) = c(cur)/N. Counts are trained
+    on the corpus itself (the same self-trained regime as
+    unigram_surprisal); on held-out text the unigram interpolation term
+    keeps unseen bigrams finite, which is the whole point of the
+    mixture. lam must be exactly representable in binary (default 0.75)
+    so both engines multiply by the identical double.
+
+    Returns (id_col, n_tokens, surprisal_micronats, mean_surprisal_nats)
+    — per-token surprisal quantized to integer MICRO-nats before the
+    order-independent integer sum, the established cross-engine
+    discipline of unigram_surprisal.
+
+    Scale shape: scoring events (prev, cur) are built NARROWLY inside
+    each doc row (transform over the token array — no window, no
+    self-join, no extra shuffle for adjacency) and exploded once; the
+    persisted event frame feeds the unigram count, the bigram count,
+    and the scoring join, so tokenization+explode runs once. All
+    shuffles are keyed on tokens / (prev,cur) pairs / doc ids — never
+    text. At 100 TB the bigram count table is the big intermediate; it
+    shuffles as (16-byte-ish token pair, count) rows with map-side
+    combine, exactly the shape a distributed LM-training count job has.
+    """
+    from ..cache import track_persist  # noqa: PLC0415
+
+    if lam != 0.75:  # keep the cross-engine literal contract honest
+        f = float(lam)
+        assert f * 4 == int(f * 4), "lam must be a dyadic rational"
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    # (prev, cur) scoring events: prev is NULL for the doc's first token
+    ev = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(t, (cur, i) -> struct("
+                "CASE WHEN i = 0 THEN CAST(NULL AS STRING) "
+                "ELSE t[i - 1] END AS prev, cur AS cur))"
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur"))
+    ev = track_persist(ev)
+    cu = ev.groupBy(F.col("cur").alias("token")).agg(F.count("*").alias("cnt"))
+    tot = cu.agg(F.sum("cnt").cast("long").alias("n_corpus"))
+    cb = (
+        ev.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    one_m_lam = 1.0 - lam
+    scored = (
+        ev.join(cu.withColumnRenamed("cnt", "cu_cur"), ev.cur == cu.token)
+        .drop("token")
+        .join(
+            cu.select(
+                F.col("token").alias("_pt"), F.col("cnt").alias("cu_prev")
+            ),
+            ev.prev == F.col("_pt"),
+            "left",
+        )
+        .drop("_pt")
+        .join(cb, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_lp_micro",
+            F.round(
+                F.when(
+                    F.col("prev").isNull(),
+                    -F.log(
+                        F.col("cu_cur").cast("double")
+                        / F.col("n_corpus").cast("double")
+                    ),
+                ).otherwise(
+                    -F.log(
+                        F.lit(lam)
+                        * (
+                            F.coalesce(F.col("bcnt"), F.lit(0)).cast("double")
+                            / F.col("cu_prev").cast("double")
+                        )
+                        + F.lit(one_m_lam)
+                        * (
+                            F.col("cu_cur").cast("double")
+                            / F.col("n_corpus").cast("double")
+                        )
+                    )
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("_lp_micro").alias("surprisal_micronats"),
+    )
+    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
+    return all_docs.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("surprisal_micronats", F.lit(0))
+        .cast("long")
+        .alias("surprisal_micronats"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("surprisal_micronats")
+                / (F.col("n_tokens") * F.lit(1_000_000.0)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_surprisal_nats"),
+    )

@@ -170,3 +170,112 @@ def dsir_select(
         .otherwise(F.col("w") >= F.col("_t"))
         .alias("selected"),
     )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    salt: str = "qc",
+    bias_micro: int = 0,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """fastText-style linear text-quality classifier (Joulin et al.
+    2016, arXiv:1607.01759) — the learned quality-filter stage of
+    GPT-3/CCNet-style curation, which scores each document with a
+    mean-pooled linear model over hashed word n-gram features and keeps
+    docs above a threshold. `weights` is the trained MODEL artifact:
+    (bucket:int, weight_micro:long), one row per hash bucket, weights
+    in integer MICRO-logits (how a fastText .bin's readout row would be
+    quantized for engine-exact replay).
+
+    Features are the DSIR featurization (_gram_buckets: unigrams +
+    bigrams folded to md5 buckets), so the classifier and the
+    importance sampler share one feature space — as real pipelines do.
+
+    Per doc: sum_micro = bias + sum of weight_micro over feature
+    OCCURRENCES (bag semantics, repeats count); the keep decision is
+    the pure-integer comparison
+        sum_micro >= threshold_micro * n_features
+    i.e. mean-pooled score >= threshold without ever dividing — exact
+    in any engine at any parallelism. The round-6 double mean is also
+    emitted for ranking/inspection. Featureless docs score 0 and are
+    dropped (keep = false).
+
+    Returns (id_col, n_features, score_sum_micro, mean_score, qc_keep).
+
+    Scale shape: gram strings never shuffle (hashed to int buckets in
+    the map stage); the weight table is B rows — broadcast into the
+    scoring join; the only data-sized shuffle is the map-side-combined
+    per-doc sum keyed on id. Exactly the DSIR wire discipline."""
+    from ..cache import track_persist  # noqa: PLC0415
+
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
+    occ = base.select(
+        "id", F.explode(_gram_buckets(F.col("t"), buckets, salt)).alias("b")
+    )
+    per_doc = (
+        occ.join(F.broadcast(weights), occ.b == weights.bucket)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("weight_micro").cast("long").alias("_s"),
+        )
+    )
+    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
+    out = all_docs.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+        (F.coalesce("_s", F.lit(0)) + F.lit(int(bias_micro)))
+        .cast("long")
+        .alias("score_sum_micro"),
+    )
+    return out.select(
+        id_col,
+        "n_features",
+        "score_sum_micro",
+        # + 0.0 canonicalizes IEEE -0.0 (round of a tiny negative mean)
+        # to +0.0 in both engines — the stringified gate compare is signed
+        (
+            F.when(
+                F.col("n_features") > 0,
+                F.round(
+                    F.col("score_sum_micro")
+                    / (F.col("n_features") * F.lit(1_000_000.0)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0))
+            + F.lit(0.0)
+        ).alias("mean_score"),
+        (
+            (F.col("n_features") > 0)
+            & (
+                F.col("score_sum_micro")
+                >= F.lit(int(threshold_micro)) * F.col("n_features")
+            )
+        ).alias("qc_keep"),
+    )
+
+
+def hashed_weights(
+    spark,
+    buckets: int = 4096,
+    salt: str = "qcw",
+    span: int = 2001,
+) -> DataFrame:
+    """Deterministic stand-in weight table for quality_classifier:
+    weight_micro(b) = md5-bucket("salt||b", span) - span//2, i.e.
+    pseudo-random integers in [-span//2, span//2] micro-logits. A real
+    deployment loads trained readout weights instead; this generator
+    exists so tests and the oracle gate exercise the full scoring
+    dataflow with an engine-replayable model."""
+    return spark.range(buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            hash_bucket_col(F.col("id"), span, salt) - F.lit(span // 2)
+        ).cast("long").alias("weight_micro"),
+    )

@@ -1505,3 +1505,110 @@ def test_c4_clean_rules(spark):
     assert not out[1]["c4_keep"]          # lorem ipsum page
     assert not out[2]["c4_keep"]          # '{' page
     assert out[3]["c4_lines_kept"] == 2 and not out[3]["c4_keep"]  # <3 lines
+
+
+def test_bigram_surprisal_reference_and_partition_invariance(spark):
+    """Hand-computable interpolated bigram surprisal on a tiny corpus
+    (first token scored by the unigram, the rest by the lam=0.75
+    Jelinek-Mercer mixture), plus bit-identical totals at any
+    partitioning — the property the integer micro-nat design exists for."""
+    import math
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.search import bigram_surprisal
+
+    rows = [(1, "a b a b"), (2, "b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    release_persisted()
+    # unigrams: a=2 b=3 c=1, N=6; bigrams: (a,b)=2 (b,a)=1 (b,c)=1
+    cu = {"a": 2, "b": 3, "c": 1}
+    cb = {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+    def uni(t):
+        return round(-math.log(cu[t] / 6) * 1e6)
+
+    def bi(p, c):
+        return round(
+            -math.log(0.75 * (cb[(p, c)] / cu[p]) + 0.25 * (cu[c] / 6)) * 1e6
+        )
+
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["surprisal_micronats"] == (
+        uni("a") + bi("a", "b") + bi("b", "a") + bi("a", "b")
+    )
+    assert out[2]["surprisal_micronats"] == uni("b") + bi("b", "c")
+    assert out[3]["n_tokens"] == 0 and out[3]["surprisal_micronats"] == 0
+    # 2464286/4e6 = 0.6160715 sits ON the .5 boundary at scale 6, where
+    # Spark (HALF_UP on shortest-decimal) and python (binary-faithful)
+    # legitimately differ by one ulp — compare with that tolerance; the
+    # DuckDB gate is the binding cross-engine parity check
+    assert (
+        abs(out[1]["mean_surprisal_nats"] - out[1]["surprisal_micronats"] / 4e6)
+        <= 1.1e-6
+    )
+
+    big = spark.createDataFrame(
+        [(d, " ".join(f"w{(d * 7 + j) % 13}" for j in range(30)))
+         for d in range(300)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_surprisal(big).collect()))
+    release_persisted()
+    b = sorted(map(tuple, bigram_surprisal(big.repartition(17)).collect()))
+    release_persisted()
+    assert a == b
+
+
+def test_bpe_encode_matches_learn_and_greedy(spark):
+    """Encoding the training corpus with its own merges reproduces the
+    learn loop's greedy left-to-right semantics: 'a a a' -> (a,a) then
+    (aa,a) -> one symbol 'aaa'; a doc the second merge can't touch
+    keeps its partial encoding; empty docs encode to []."""
+    from bb_ocr_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, "a a a"), (1, "b a a"), (2, "")], "doc_id long, text string"
+    )
+    merges = learn_bpe_merges(df, num_merges=2)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert list(out[0]["symbols"]) == ["aaa"] and out[0]["n_symbols"] == 1
+    assert list(out[1]["symbols"]) == ["b", "aa"]
+    assert list(out[2]["symbols"]) == [] and out[2]["n_symbols"] == 0
+
+
+def test_quality_classifier_reference(spark):
+    """Scores replay the md5 feature/weight discipline exactly: expected
+    values recomputed in pure python; featureless docs keep=false; the
+    keep decision is the integer comparison sum >= threshold * n."""
+    import hashlib
+
+    from bb_ocr_spark.operators.selection import (
+        hashed_weights,
+        quality_classifier,
+    )
+
+    def bucket(s, mod, salt):
+        return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16) % mod
+
+    def weight(b):
+        return bucket(str(b), 2001, "qcw") - 1000
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier(
+            df, hashed_weights(spark), threshold_micro=0
+        ).collect()
+    }
+    feats1 = [bucket(g, 4096, "qc") for g in ["a", "b", "a b"]]
+    s1 = sum(weight(b) for b in feats1)
+    assert out[1]["n_features"] == 3
+    assert out[1]["score_sum_micro"] == s1
+    assert out[1]["qc_keep"] == (s1 >= 0)
+    assert out[1]["mean_score"] == round(s1 / 3e6, 6)
+    s2 = weight(bucket("c", 4096, "qc"))
+    assert out[2]["n_features"] == 1 and out[2]["score_sum_micro"] == s2
+    assert out[3]["n_features"] == 0 and not out[3]["qc_keep"]
