@@ -1,6 +1,7 @@
-"""Round-5 late-extras soak: the four operators added after the main
+"""Round-5 late-extras soak: the operators added after the main
 round-5 soak (perplexity_buckets, dsir_select, gopher_quality,
-bpe_merges), at 5x the gate corpus (25k docs built from sf0.1 documents
+bpe_merges, then bigram_surprisal, bpe_encode, quality_classifier),
+at 5x the gate corpus (25k docs built from sf0.1 documents
 x5 with distinct ids), with inline PLANTED invariants — a failed
 invariant fails the soak (same discipline as tools/soak_r4.py).
 
@@ -49,6 +50,34 @@ GOPHER_CLEAN = (
 PAIR = "soakleft soakright"
 
 
+def _qc_weight(gram: str) -> int:
+    """python replica of hashed_weights(bucket(gram)) — md5 discipline."""
+    import hashlib
+
+    def bucket(s: str, mod: int, salt: str) -> int:
+        h = hashlib.md5((salt + s).encode()).hexdigest()[:15]
+        return int(h, 16) % mod
+
+    return bucket(str(bucket(gram, 4096, "qc")), 2001, "qcw") - 1000
+
+
+def _qc_tokens() -> tuple[str, str]:
+    """Find one token whose unigram AND self-bigram weights are both
+    strictly positive, and one where both are strictly negative — a doc
+    of that token repeated then has a sign-determined score."""
+    pos = neg = None
+    i = 0
+    while pos is None or neg is None:
+        t = f"qcsoak{i}"
+        wu, wb = _qc_weight(t), _qc_weight(f"{t} {t}")
+        if pos is None and wu > 0 and wb > 0:
+            pos = t
+        if neg is None and wu < 0 and wb < 0:
+            neg = t
+        i += 1
+    return pos, neg
+
+
 def build_corpus(spark):
     base = (
         spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -91,6 +120,14 @@ def build_corpus(spark):
             (13_000_000 + i,
              " ".join(f"ultrarareq{i}w{j}" for j in range(40)), f"src{i % 20}")
         )
+    # quality_classifier plants: one all-positive-weight token doc set,
+    # one all-negative — token chosen by searching the md5 weight table
+    # in python (the same hash both engines replay)
+    pos_tok, neg_tok = _qc_tokens()
+    for i in range(20):
+        planted.append((14_000_000 + i, (pos_tok + " ") * 30, "src7"))
+    for i in range(20):
+        planted.append((14_100_000 + i, (neg_tok + " ") * 30, "src7"))
     pl = spark.createDataFrame(
         planted, "doc_id long, text string, source string"
     )
@@ -216,6 +253,167 @@ def main() -> int:
             f"bpe: planted pair count {top['pair_count']} != {3 * n_stamped}"
         )
 
+    # --- bigram surprisal ------------------------------------------------
+    from bb_ocr_spark.operators.search import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    t = time.time()
+    uni = unigram_surprisal(corpus).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_u"),
+        F.col("surprisal_micronats").alias("s_u"),
+    )
+    bi = bigram_surprisal(corpus).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_b"),
+        F.col("surprisal_micronats").alias("s_b"),
+        F.col("mean_surprisal_nats").alias("mean_b"),
+    )
+    joined = uni.join(bi, "doc_id")
+    # exact per-doc bound: the mixture term is >= (1-lam) * unigram prob,
+    # so each non-first token's surprisal <= unigram + ln(4); allow 1
+    # micro-nat rounding slack per token
+    import math
+
+    ln4 = round(math.log(4) * 1e6)
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("n_u") != F.col("n_b")).cast("long")).alias("n_mismatch"),
+        F.sum(
+            (
+                F.col("s_b")
+                > F.col("s_u")
+                + F.greatest(F.col("n_b") - 1, F.lit(0)) * F.lit(ln4)
+                + F.col("n_b")
+            ).cast("long")
+        ).alias("n_bound_viol"),
+    ).first()
+    gib_means = {
+        r["doc_id"]: (r["s_u"] / max(r["n_u"], 1) / 1e6,
+                      r["s_b"] / max(r["n_b"], 1) / 1e6)
+        for r in joined.filter(
+            (F.col("doc_id") >= 13_000_000) & (F.col("doc_id") < 13_000_030)
+        ).collect()
+    }
+    release_persisted()
+    results["bigram"] = {
+        "sec": round(time.time() - t, 2),
+        "n_docs": agg["n"],
+        "n_token_count_mismatch": int(agg["n_mismatch"]),
+        "n_bound_violations": int(agg["n_bound_viol"]),
+    }
+    if agg["n_mismatch"]:
+        failures.append("bigram: token counts differ from unigram pass")
+    if agg["n_bound_viol"]:
+        failures.append("bigram: per-doc interpolation bound violated")
+    # gibberish docs: every transition is memorized (bigram count 1 of
+    # prev count 1), so the bigram mean must collapse far below the
+    # unigram mean on every one
+    if len(gib_means) != 30:
+        failures.append("bigram: planted gibberish docs missing")
+    if any(mb >= mu / 2 for (mu, mb) in gib_means.values()):
+        failures.append(
+            "bigram: memorized-transition doc did not collapse vs unigram"
+        )
+
+    # --- BPE encode ------------------------------------------------------
+    from bb_ocr_spark.operators.bpe import bpe_encode
+
+    t = time.time()
+    m1 = spark.createDataFrame(
+        [(1, PAIR.split()[0], PAIR.split()[1], 0)],
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+    enc = bpe_encode(corpus, m1)
+    merged_sym = PAIR.replace(" ", "")
+    chk = (
+        enc.join(corpus.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "n_symbols",
+            F.size(
+                F.filter(F.col("symbols"), lambda s: s == F.lit(merged_sym))
+            ).alias("n_merged"),
+            (
+                F.replace(F.array_join("symbols", ""), F.lit(" "), F.lit(""))
+                == F.replace(
+                    F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                    F.lit(" "),
+                    F.lit(""),
+                )
+            ).alias("chars_ok"),
+            # stamping applied to the x5 base copies only (ids < 10M);
+            # planted ids can also be %12==0 but carry no stamp
+            (
+                (F.col("doc_id") % 12 == 0)
+                & (F.col("doc_id") < 10_000_000)
+            ).alias("stamped"),
+        )
+    )
+    bagg = chk.agg(
+        F.sum((~F.col("chars_ok")).cast("long")).alias("n_chars_bad"),
+        # greedy left-to-right on ' P P P ': occurrences 1 and 3 merge,
+        # the middle one is consumed-adjacent and survives
+        F.sum(
+            (F.col("stamped") & (F.col("n_merged") != 2)).cast("long")
+        ).alias("n_stamp_bad"),
+        F.sum(
+            ((~F.col("stamped")) & (F.col("n_merged") != 0)).cast("long")
+        ).alias("n_unstamp_bad"),
+    ).first()
+    results["bpe_encode"] = {
+        "sec": round(time.time() - t, 2),
+        "n_chars_bad": int(bagg["n_chars_bad"]),
+        "n_stamp_bad": int(bagg["n_stamp_bad"]),
+        "n_unstamp_bad": int(bagg["n_unstamp_bad"]),
+    }
+    if bagg["n_chars_bad"]:
+        failures.append("bpe_encode: character mass not conserved")
+    if bagg["n_stamp_bad"]:
+        failures.append(
+            "bpe_encode: stamped doc does not show the 2-of-3 greedy merge"
+        )
+    if bagg["n_unstamp_bad"]:
+        failures.append("bpe_encode: merged symbol appeared unstamped")
+
+    # --- quality classifier ---------------------------------------------
+    from bb_ocr_spark.operators.selection import (
+        hashed_weights,
+        quality_classifier,
+    )
+
+    t = time.time()
+    pos_tok, neg_tok = _qc_tokens()
+    qc = quality_classifier(corpus, hashed_weights(spark), threshold_micro=0)
+    qrows = {
+        r["doc_id"]: r
+        for r in qc.filter(
+            (F.col("doc_id") >= 14_000_000) & (F.col("doc_id") < 14_100_020)
+        ).collect()
+    }
+    # expected exact scores: 30 unigrams + 29 self-bigrams
+    exp_pos = 30 * _qc_weight(pos_tok) + 29 * _qc_weight(f"{pos_tok} {pos_tok}")
+    exp_neg = 30 * _qc_weight(neg_tok) + 29 * _qc_weight(f"{neg_tok} {neg_tok}")
+    pos_rows = [r for d, r in qrows.items() if d < 14_000_020]
+    neg_rows = [r for d, r in qrows.items() if d >= 14_100_000]
+    results["quality_classifier"] = {
+        "sec": round(time.time() - t, 2),
+        "n_planted": len(qrows),
+        "exp_pos": exp_pos,
+        "exp_neg": exp_neg,
+    }
+    if len(qrows) != 40:
+        failures.append("qc: planted docs missing")
+    elif (
+        any(not r["qc_keep"] or r["score_sum_micro"] != exp_pos
+            for r in pos_rows)
+        or any(r["qc_keep"] or r["score_sum_micro"] != exp_neg
+               for r in neg_rows)
+    ):
+        failures.append("qc: planted sign/score invariant violated")
+
     wall = round(time.time() - t0, 1)
     ok = not failures
     md = [
@@ -241,6 +439,15 @@ def main() -> int:
         "in their source's tail tercile;",
         "- BPE: rank-1 merge is the planted pair at its exact planted "
         "count (3 per stamped doc).",
+        "- bigram_surprisal: token counts equal the unigram pass on every "
+        "doc; the exact interpolation bound s_b <= s_u + (n-1)ln4 + slack "
+        "holds corpus-wide; all 30 memorized-transition gibberish docs "
+        "collapse to < half their unigram mean;",
+        "- bpe_encode: character mass conserved on every doc; greedy "
+        "left-to-right semantics produce exactly 2 merged symbols of the "
+        "3 stamped pairs, zero on unstamped docs;",
+        "- quality_classifier: 40 planted single-token docs score their "
+        "hand-computed exact integer sums with sign-determined keep.",
     ]
     with open(os.path.join(REPO, "BENCH", "SOAK_EXTRAS_r05.md"), "w") as f:
         f.write("\n".join(md) + "\n")
