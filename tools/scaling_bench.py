@@ -28,6 +28,12 @@ from bb_ocr_spark.operators.assemble import assemble_spans, explode_spans, filte
 from pyspark.sql import functions as F
 
 cores = int(sys.argv[1]); path = sys.argv[2]
+# Split-quantization was TESTED as a cause of sub-0.8 efficiency and
+# ruled out (BENCH/BASELINE.md 2026-08-18): forcing one split per file
+# (32 clean full-width waves at both levels via maxPartitionBytes=4m,
+# shuffle_partitions=4x cores) measured 0.686/0.701 — no better than
+# the default layout's 0.709/0.795 in the same hour. The default
+# session config is therefore kept.
 spark = get_spark(f"scale_{{cores}}", cores=cores, shuffle_partitions=cores)
 df = spark.read.parquet(path)
 def job():
