@@ -218,12 +218,18 @@ def quality_classifier(
     occ = base.select(
         "id", F.explode(_gram_buckets(F.col("t"), buckets, salt)).alias("b")
     )
+    # LEFT join + 0-coalesce: a sparse weight table (real models prune
+    # near-zero rows) means "weight 0", not "feature doesn't exist" —
+    # n_features must count every gram occurrence either way, or the
+    # mean-pool denominator would depend on model pruning
     per_doc = (
-        occ.join(F.broadcast(weights), occ.b == weights.bucket)
+        occ.join(F.broadcast(weights), occ.b == weights.bucket, "left")
         .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_features"),
-            F.sum("weight_micro").cast("long").alias("_s"),
+            F.sum(F.coalesce("weight_micro", F.lit(0)))
+            .cast("long")
+            .alias("_s"),
         )
     )
     all_docs = docs.select(F.col(id_col).alias("id")).distinct()

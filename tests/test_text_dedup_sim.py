@@ -1612,3 +1612,90 @@ def test_quality_classifier_reference(spark):
     s2 = weight(bucket("c", 4096, "qc"))
     assert out[2]["n_features"] == 1 and out[2]["score_sum_micro"] == s2
     assert out[3]["n_features"] == 0 and not out[3]["qc_keep"]
+
+
+def test_bpe_encode_fuzz_python_reference(spark):
+    """Randomized corpora vs a pure-python replica of the padded-replace
+    greedy semantics: learn N merges on the corpus, encode, and compare
+    every doc's symbol sequence exactly."""
+    import random
+
+    from bb_ocr_spark.operators.bpe import bpe_encode, learn_bpe_merges
+
+    rng = random.Random("bpefuzz:7")
+    vocab = ["a", "b", "c", "ab", "zz"]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for d in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges_df = learn_bpe_merges(df, num_merges=4)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+
+    def py_encode(text: str) -> list[str]:
+        s = " " + " ".join(text.lower().split()) + " "
+        for left, right in merges:
+            s = s.replace(f" {left} {right} ", f" {left}{right} ")
+        return [t for t in s.strip().split(" ") if t]
+
+    out = {r["doc_id"]: list(r["symbols"])
+           for r in bpe_encode(df, merges_df).collect()}
+    for d, text in rows:
+        assert out[d] == py_encode(text), (d, text, merges)
+
+
+def test_bigram_surprisal_fuzz_python_reference(spark):
+    """Randomized corpus vs a pure-python replica of the interpolated
+    scoring (exact integer micro-nats, both engines' rounding)."""
+    import math
+    import random
+    from collections import Counter
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.search import bigram_surprisal
+
+    rng = random.Random("bifuzz:3")
+    vocab = [f"w{i}" for i in range(9)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for d in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    release_persisted()
+
+    cu: Counter = Counter()
+    cb: Counter = Counter()
+    for _, text in rows:
+        t = text.split()
+        cu.update(t)
+        cb.update(zip(t, t[1:]))
+    n = sum(cu.values())
+    for d, text in rows:
+        t = text.split()
+        s = 0
+        for i, cur in enumerate(t):
+            if i == 0:
+                p = cu[cur] / n
+            else:
+                prev = t[i - 1]
+                p = 0.75 * (cb[(prev, cur)] / cu[prev]) + 0.25 * (cu[cur] / n)
+            s += round(-math.log(p) * 1e6)
+        assert out[d]["n_tokens"] == len(t), d
+        assert out[d]["surprisal_micronats"] == s, (d, text)
+
+
+def test_quality_classifier_sparse_weights(spark):
+    """A pruned (sparse) weight table means weight 0 for missing buckets
+    — n_features still counts every gram occurrence."""
+    from bb_ocr_spark.operators.selection import quality_classifier
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "bucket int, weight_micro long")
+    row = quality_classifier(df, empty).collect()[0]
+    assert row["n_features"] == 3  # a, b, "a b"
+    # sum 0 >= threshold 0 with features present -> keep by definition
+    assert row["score_sum_micro"] == 0 and row["qc_keep"]
