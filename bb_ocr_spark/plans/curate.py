@@ -3,6 +3,8 @@
     documents ──scrub────▶ PII masked (emails/ips/phones/ids → tokens)
               ──quality──▶ keep/drop (Gopher/C4-style signals incl.
                            duplicate-line repetition caps)
+              ──classify─▶ optional learned filter (fastText-style
+                           hashed-linear model, broadcast weights)
               ──decontam─▶ drop docs sharing n-grams with an eval set
                            (optional; anti-join on hashed shingles)
               ──dedup────▶ exact-dup winners (md5 fingerprint groupBy)
@@ -50,12 +52,16 @@ def run_curation(
     max_dup_line_frac: float = 0.5,
     near_dup_threshold: float | None = None,
     substring_k: int | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_threshold_micro: int = 0,
 ) -> dict[str, DataFrame]:
     """documents(id, text, …) → curated corpus + per-stage tables.
 
     Returns {quality, kept, dedup_winners, deduped, curated, shards,
     stats}; `curated` carries (id, text_dedup, n_tokens, split, shard_id).
-    Pass eval_df (same id/text columns) to decontaminate against it.
+    Pass eval_df (same id/text columns) to decontaminate against it;
+    pass classifier_weights ((bucket, weight_micro) model rows) to add
+    the learned fastText-style filter after the heuristic rules.
     """
     scrubbed = documents.select(
         F.col(id_col).alias("id"),
@@ -67,6 +73,25 @@ def run_curation(
     kept = q.filter(
         F.col("quality_keep") & (F.col("dup_line_frac") <= max_dup_line_frac)
     ).select("id", "text")
+
+    # optional LEARNED quality filter after the heuristic one (the
+    # GPT-3/CCNet two-tier practice: cheap rules first, then the
+    # fastText-style model on the survivors — the model scores fewer
+    # docs and the broadcast weight table is the only extra state)
+    qc = None
+    if classifier_weights is not None:
+        from ..operators.selection import quality_classifier  # noqa: PLC0415
+
+        qc = quality_classifier(
+            kept,
+            classifier_weights,
+            id_col="id",
+            text_col="text",
+            threshold_micro=classifier_threshold_micro,
+        )
+        kept = kept.join(
+            qc.filter(F.col("qc_keep")).select("id"), "id", "left_semi"
+        )
 
     flagged = None
     if eval_df is not None:
@@ -163,6 +188,17 @@ def run_curation(
             F.sum(
                 (F.col("dup_line_frac") > max_dup_line_frac).cast("long")
             ).alias("n_repetition_flagged")))
+        .crossJoin(
+            qc.groupBy().agg(
+                F.sum((~F.col("qc_keep")).cast("long")).alias(
+                    "n_classifier_dropped"
+                )
+            )
+            if qc is not None
+            else documents.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("n_classifier_dropped")
+            )
+        )
         .crossJoin(contam_stats)
         .crossJoin(near_stats)
         .crossJoin(winners.groupBy().agg(

@@ -608,3 +608,52 @@ def test_incremental_substring_randomized_invariant(spark, tmp_path):
                 seen[gram] = seen.get(gram, 0) + 1
     dupes = {g: n for g, n in seen.items() if n > 1 and g[0].startswith("p")}
     assert not dupes, f"pool k-grams surviving more than once: {dupes}"
+
+
+def test_curation_classifier_stage(spark):
+    """The optional learned filter drops exactly the docs the classifier
+    rejects, counts them in stats, and leaves the run without weights
+    untouched (n_classifier_dropped stays 0)."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.operators.selection import quality_classifier
+
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}_{j} the of and to" for j in range(12))
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # a real weight table would come from training; here doc 0's
+    # doc-SPECIFIC tokens (w0_j — the shared stopwords stay negative)
+    # carry a weight large enough to outvote every other gram, so doc 0
+    # must survive a 0 threshold and vocab-disjoint docs must not
+    # (modulo hash-bucket collisions — hence the set-equality check
+    # against the classifier's own verdicts below)
+    import hashlib
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(("qc" + s).encode()).hexdigest()[:15],
+                   16) % 4096
+
+    doc0_buckets = {bucket(f"w0_{j}") for j in range(12)}
+    weights = spark.createDataFrame(
+        [(b, 10_000_000 if b in doc0_buckets else -1)
+         for b in range(4096)],
+        "bucket int, weight_micro long",
+    )
+    out = run_curation(df, shard_budget_tokens=300,
+                       classifier_weights=weights)
+    stats = out["stats"].collect()[0]
+    kept_ids = {r["id"] for r in out["kept"].collect()}
+    # doc 0 must survive; docs with disjoint vocab must not
+    assert 0 in kept_ids
+    assert stats["n_classifier_dropped"] == 40 - len(kept_ids)
+    assert stats["n_classifier_dropped"] > 0
+    # sanity: the kept set is exactly the classifier's qc_keep set
+    qc = quality_classifier(df, weights)
+    expect = {r["doc_id"] for r in qc.filter(F.col("qc_keep")).collect()}
+    assert kept_ids == expect
+
+    out2 = run_curation(df, shard_budget_tokens=300)
+    assert out2["stats"].collect()[0]["n_classifier_dropped"] == 0
