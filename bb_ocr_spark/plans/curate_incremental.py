@@ -161,6 +161,8 @@ def run_incremental_curation(
     substr_state_table: str | None = None,
     substr_k: int = 50,
     substr_method: str = "expr",
+    classifier_weights: DataFrame | None = None,
+    classifier_threshold_micro: int = 0,
 ) -> dict:
     """Curate one delivery against the accumulated state; returns the
     committed manifest plus this run's survivor count.
@@ -181,7 +183,11 @@ def run_incremental_curation(
     token-granular ExactSubstr emits); UNTOUCHED docs keep their
     original text byte-for-byte. The survivors' ORIGINAL-text gram
     inventory appends to the bucketed state, committed-run_ids-only
-    like the other tiers."""
+    like the other tiers.
+
+    classifier_weights ((bucket, weight_micro) model rows) adds the
+    learned fastText-style quality filter after the heuristic rules —
+    stateless across deliveries (the model is a broadcast table)."""
     cur = current_snapshot(state_dir)
     if cur is not None and run_id in cur["run_ids"]:
         return {"manifest": cur, "n_new": 0, "replayed": True}
@@ -193,8 +199,24 @@ def run_incremental_curation(
         scrubbed.select("id", "text", *quality_cols(F.col("text")))
         .filter(F.col("quality_keep"))
         .select("id", "text")
-        .withColumn("fp", fingerprint_md5_col(F.col("text")))
     )
+    if classifier_weights is not None:
+        # optional learned filter after the heuristic rules (same
+        # two-tier order as plans.curate.run_curation): the weight
+        # table broadcasts, so the stage adds no per-delivery state
+        from ..operators.selection import quality_classifier  # noqa: PLC0415
+
+        qc = quality_classifier(
+            kept,
+            classifier_weights,
+            id_col="id",
+            text_col="text",
+            threshold_micro=classifier_threshold_micro,
+        )
+        kept = kept.join(
+            qc.filter(F.col("qc_keep")).select("id"), "id", "left_semi"
+        )
+    kept = kept.withColumn("fp", fingerprint_md5_col(F.col("text")))
     # within-batch winners: min id per fingerprint
     winners = kept.groupBy("fp").agg(F.min("id").alias("id"))
     batch_uniq = kept.join(

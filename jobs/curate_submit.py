@@ -48,6 +48,14 @@ def main() -> None:
                     help="token k-gram length for --substr-table (Lee et "
                          "al. use 50; the rolling-hash gram path engages "
                          "automatically for k >= 16)")
+    ap.add_argument("--classifier-weights", default=None,
+                    help="parquet path of a (bucket int, weight_micro "
+                         "long) model table: adds the learned "
+                         "fastText-style quality filter after the "
+                         "heuristic rules (broadcast, stateless)")
+    ap.add_argument("--classifier-threshold-micro", type=int, default=0,
+                    help="keep iff score_sum_micro >= threshold * "
+                         "n_features (integer mean-pool rule)")
     ap.add_argument("--eval-input", default=None,
                     help="optional eval/benchmark docs to decontaminate against")
     ap.add_argument("--compact-state", action="store_true",
@@ -100,6 +108,12 @@ def main() -> None:
         substr_state_table=args.substr_table,
         substr_k=args.substr_k,
         substr_method="rolling" if args.substr_k >= 16 else "expr",
+        classifier_weights=(
+            spark.read.parquet(args.classifier_weights)
+            if args.classifier_weights
+            else None
+        ),
+        classifier_threshold_micro=args.classifier_threshold_micro,
     )
     if args.compact_state and args.fp_table:
         from bb_ocr_spark.plans.curate_incremental import (

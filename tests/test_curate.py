@@ -657,3 +657,47 @@ def test_curation_classifier_stage(spark):
 
     out2 = run_curation(df, shard_budget_tokens=300)
     assert out2["stats"].collect()[0]["n_classifier_dropped"] == 0
+
+
+def test_incremental_curation_classifier_stage(spark, tmp_path):
+    """The learned filter drops its rejects BEFORE fingerprints commit,
+    so a dropped doc's text is not poisoned into state; the next
+    delivery without weights accepts the same text fresh."""
+    import hashlib
+
+    from bb_ocr_spark.plans.curate_incremental import run_incremental_curation
+
+    state = str(tmp_path / "state")
+
+    def doc(i, tag):
+        return (i, " ".join(f"w{tag}_{j} the of and to" for j in range(12)))
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(("qc" + s).encode()).hexdigest()[:15],
+                   16) % 4096
+
+    # favor doc 0's specific tokens, everything else slightly negative
+    good = {bucket(f"wa0_{j}") for j in range(12)}
+    weights = spark.createDataFrame(
+        [(b, 10_000_000 if b in good else -1) for b in range(4096)],
+        "bucket int, weight_micro long",
+    )
+    b1 = spark.createDataFrame(
+        [doc(i, f"a{i}") for i in range(6)], "doc_id long, text string"
+    )
+    r1 = run_incremental_curation(
+        spark, b1, state, "run-1", classifier_weights=weights
+    )
+    assert 1 <= r1["n_new"] < 6  # doc 0 in, vocab-disjoint docs out
+
+    # delivery 2 without the model: the previously-rejected texts were
+    # never fingerprinted, so they commit now (new ids)
+    b2 = spark.createDataFrame(
+        [(100 + i, t) for i, t in
+         [(i, r[1]) for i, r in enumerate([doc(i, f"a{i}")
+                                           for i in range(6)])]],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_curation(spark, b2, state, "run-2")
+    # exactly the docs the model rejected in run-1 are new in run-2
+    assert r2["n_new"] == 6 - r1["n_new"]
