@@ -34,6 +34,7 @@ def run_curate_stream(
     state_dir: str,
     checkpoint: str,
     bucketed_fp_table: str | None = None,
+    classifier_weights: DataFrame | None = None,
 ) -> None:
     """Drain all currently-available deliveries (availableNow trigger),
     curating each micro-batch as one incremental run. Epoch ids are the
@@ -54,6 +55,7 @@ def run_curate_stream(
             state_dir,
             f"stream-{epoch_id:06d}",
             bucketed_fp_table=bucketed_fp_table,
+            classifier_weights=classifier_weights,
         )
 
     (

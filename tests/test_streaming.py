@@ -448,3 +448,48 @@ def test_streaming_curation_accumulates_and_dedups(spark, tmp_path):
     assert out["n_new"] == 1
     assert current_snapshot(state)["n_docs_total"] == 9
     assert accumulated_fingerprints(spark, state).count() == 9
+
+
+def test_streaming_curation_classifier_stage(spark, tmp_path):
+    """The learned quality filter runs inside streaming epochs too (the
+    weight table broadcasts into each micro-batch): the stream's
+    survivor set equals the batch incremental run's on the same
+    delivery + weights."""
+    import hashlib
+    import os
+
+    from bb_ocr_spark.plans.curate_incremental import run_incremental_curation
+    from bb_ocr_spark.plans.snapshots import current_snapshot
+    from bb_ocr_spark.streaming.curate_stream import run_curate_stream
+
+    def doc(i, tag):
+        return (i, " ".join(f"w{tag}_{j} the of and to" for j in range(12)))
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(("qc" + s).encode()).hexdigest()[:15],
+                   16) % 4096
+
+    good = {bucket(f"wa0_{j}") for j in range(12)}
+    weights = spark.createDataFrame(
+        [(b, 10_000_000 if b in good else -1) for b in range(4096)],
+        "bucket int, weight_micro long",
+    )
+    rows = [doc(i, f"a{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    df.coalesce(1).write.parquet(os.path.join(inbox, "d1"))
+    s_state = str(tmp_path / "s_state")
+    run_curate_stream(
+        spark, inbox + "/*", s_state, str(tmp_path / "ck"),
+        classifier_weights=weights,
+    )
+    stream_n = current_snapshot(s_state)["n_docs_total"]
+
+    b_state = str(tmp_path / "b_state")
+    r = run_incremental_curation(
+        spark, df, b_state, "run-1", classifier_weights=weights
+    )
+    assert stream_n == r["n_new"]
+    assert 1 <= stream_n < 6  # the model actually filtered
