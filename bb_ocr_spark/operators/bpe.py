@@ -165,6 +165,7 @@ def bpe_encode(
     merges: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stage_size: int = 64,
 ) -> DataFrame:
     """Apply a learned merge table (the output of learn_bpe_merges) to
     the corpus — the tokenizer-APPLICATION step that turns raw text into
@@ -181,28 +182,40 @@ def bpe_encode(
     whitespace-only docs encode to an empty array.
 
     Scale shape: the merge table is a tokenizer MODEL — tiny, rank-
-    ordered — collected once and folded into a single narrow expression
-    chain: the corpus is encoded in one zero-shuffle stage, no join, no
-    state. At real vocab sizes (30k merges) the chain would be staged
-    with a localCheckpoint every few hundred merges to bound expression
-    depth; the loop below is that structure with one stage."""
+    ordered — collected once and folded into narrow replace chains of
+    `stage_size` merges each, with an eager localCheckpoint between
+    stages: every stage stays zero-shuffle and well under the Janino
+    expression-depth cliff, so a 30k-merge vocabulary is ~470 narrow
+    map stages over the corpus — no join, no shuffle, no driver data."""
     ranked = [
         (r["left_sym"], r["right_sym"])
         for r in merges.orderBy("merge_rank").collect()
     ]
-    s = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
-        F.lit(" "),
-    )
-    for left, right in ranked:
-        pair = f"{left} {right}"
-        s = F.replace(
-            s, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} ")
-        )
-    out = docs.select(
+    state = docs.select(
         F.col(id_col),
-        F.filter(F.split(F.trim(s), " "), lambda t: t != "").alias("symbols"),
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+            F.lit(" "),
+        ).alias("_s"),
+    )
+    for i in range(0, len(ranked), max(1, int(stage_size))):
+        s = F.col("_s")
+        for left, right in ranked[i : i + max(1, int(stage_size))]:
+            pair = f"{left} {right}"
+            s = F.replace(
+                s, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} ")
+            )
+        state = state.select(F.col(id_col), s.alias("_s"))
+        if i + stage_size < len(ranked):
+            # bound expression depth between stages; eager so each
+            # chunk's codegen compiles independently
+            state = state.localCheckpoint(eager=True)
+    out = state.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col("_s")), " "), lambda t: t != ""
+        ).alias("symbols"),
     )
     return out.select(
         id_col,

@@ -1699,3 +1699,37 @@ def test_quality_classifier_sparse_weights(spark):
     assert row["n_features"] == 3  # a, b, "a b"
     # sum 0 >= threshold 0 with features present -> keep by definition
     assert row["score_sum_micro"] == 0 and row["qc_keep"]
+
+
+def test_bpe_encode_multi_stage_checkpointing(spark):
+    """A merge table larger than stage_size encodes through several
+    checkpointed chains; output equals the single-stage plan and the
+    python reference (vocab-scale structure, small corpus)."""
+    from bb_ocr_spark.operators.bpe import bpe_encode
+
+    # 150 synthetic ranked merges: c0+c1 -> c0c1, then (c0c1)+c2, ... —
+    # a maximal chain so later stages depend on earlier stages' output
+    chain = [f"c{i}" for i in range(151)]
+    merged = chain[0]
+    merges_rows = []
+    for r in range(1, 151):
+        merges_rows.append((r, merged, chain[r], 0))
+        merged = merged + chain[r]
+    mdf = spark.createDataFrame(
+        merges_rows,
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )
+    text = " ".join(chain)  # collapses to ONE symbol only if every
+    # stage sees the previous stage's result
+    df = spark.createDataFrame(
+        [(1, text), (2, " ".join(chain[:75])), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    staged = {r["doc_id"]: list(r["symbols"])
+              for r in bpe_encode(df, mdf, stage_size=16).collect()}
+    single = {r["doc_id"]: list(r["symbols"])
+              for r in bpe_encode(df, mdf, stage_size=10_000).collect()}
+    assert staged == single
+    assert staged[1] == ["".join(chain)]
+    assert staged[2] == ["".join(chain[:75])]
+    assert staged[3] == ["x", "y", "z"]
