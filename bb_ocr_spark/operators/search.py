@@ -499,3 +499,98 @@ def bigram_surprisal(
         .otherwise(F.lit(0.0))
         .alias("mean_surprisal_nats"),
     )
+
+
+def train_unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus -> unigram LM model frame (token, cnt); the N/V totals
+    derive by aggregation at scoring time. Written/read as parquet this
+    is the LM artifact a CCNet-style pipeline trains ONCE on a clean
+    reference corpus (Wikipedia/books) and applies to every crawl
+    delivery."""
+    toks = docs.select(
+        F.explode_outer(tokens_col(F.col(text_col))).alias("token")
+    ).filter(F.col("token").isNotNull())
+    return toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def unigram_surprisal_lm(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score docs under a FROZEN unigram LM (the output of
+    train_unigram_lm over a reference corpus) — the actual CCNet
+    deployment shape: the model is trained once on clean text, then
+    every raw document is scored against it; unigram_surprisal's
+    self-trained form is the special case lm = train_unigram_lm(docs).
+
+    Held-out scoring must survive out-of-vocabulary tokens, so the
+    probability is Laplace-smoothed over the model's vocabulary:
+        p(t) = (cnt(t) + 1) / (N + V + 1)
+    (the +1 in the denominator funds the single shared OOV event; any
+    unseen token scores the same finite maximal surprisal). Integer
+    micro-nat discipline as unigram_surprisal.
+
+    Returns (id_col, n_tokens, n_oov, surprisal_micronats,
+    mean_surprisal_nats).
+
+    Scale shape: the LM is vocabulary-sized — broadcast into the
+    scoring join when small, shuffle-joined on token when not; doc
+    tokens explode narrowly and aggregate back on id. The raw corpus
+    is never re-counted (that is the point of the frozen model)."""
+    from ..cache import track_persist  # noqa: PLC0415
+
+    stats = lm.agg(
+        F.sum("cnt").cast("long").alias("n_lm"),
+        F.count("*").cast("long").alias("v_lm"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("token"),
+    )
+    toks = track_persist(toks.filter(F.col("token").isNotNull()))
+    scored = (
+        toks.join(lm, "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_lp_micro",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("n_lm") + F.col("v_lm") + F.lit(1)).cast("double")
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .withColumn("_oov", F.col("cnt").isNull().cast("long"))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("_oov").cast("long").alias("n_oov"),
+        F.sum("_lp_micro").alias("surprisal_micronats"),
+    )
+    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
+    return all_docs.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.coalesce("surprisal_micronats", F.lit(0))
+        .cast("long")
+        .alias("surprisal_micronats"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("surprisal_micronats")
+                / (F.col("n_tokens") * F.lit(1_000_000.0)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_surprisal_nats"),
+    )

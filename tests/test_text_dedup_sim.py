@@ -1733,3 +1733,48 @@ def test_bpe_encode_multi_stage_checkpointing(spark):
     assert staged[1] == ["".join(chain)]
     assert staged[2] == ["".join(chain[:75])]
     assert staged[3] == ["x", "y", "z"]
+
+
+def test_unigram_surprisal_lm_frozen_model_and_oov(spark):
+    """Frozen-LM scoring: hand-computed Laplace-smoothed values; every
+    OOV token scores the shared maximal surprisal; the model is NOT
+    retrained on the scored docs (scoring different docs leaves per-doc
+    scores unchanged)."""
+    import math
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.search import (
+        train_unigram_lm,
+        unigram_surprisal_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    lm = train_unigram_lm(ref).localCheckpoint(eager=True)
+    # counts a=2 b=2 c=1 -> N=5, V=3
+    held = spark.createDataFrame(
+        [(10, "a zzz"), (11, ""), (12, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal_lm(held, lm).collect()}
+    release_persisted()
+
+    def lp(cnt):
+        return round(-math.log((cnt + 1) / (5 + 3 + 1)) * 1e6)
+
+    assert out[10]["surprisal_micronats"] == lp(2) + lp(0)
+    assert out[10]["n_oov"] == 1
+    assert out[11]["n_tokens"] == 0 and out[11]["surprisal_micronats"] == 0
+    assert out[12]["surprisal_micronats"] == 2 * lp(0)
+    assert out[12]["n_oov"] == 2
+
+    # frozen: scoring a different batch doesn't change doc 10's score
+    held2 = spark.createDataFrame(
+        [(10, "a zzz"), (99, "c c c c c")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r
+            for r in unigram_surprisal_lm(held2, lm).collect()}
+    release_persisted()
+    assert (out2[10]["surprisal_micronats"]
+            == out[10]["surprisal_micronats"])
