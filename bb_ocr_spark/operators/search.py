@@ -297,6 +297,7 @@ def perplexity_buckets(
     source_col: str = "source",
     sample_mod: int = 8,
     salt: str = "ppl",
+    lm: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020,
     arXiv:1911.00359): per source, docs are split into fluency terciles
@@ -329,7 +330,15 @@ def perplexity_buckets(
     from ..cache import track_persist  # noqa: PLC0415
     from ..functions.sampling import hash_bucket_col  # noqa: PLC0415
 
-    sur = unigram_surprisal(docs, id_col=id_col, text_col=text_col)
+    # lm=None: self-trained scores (the gate-pinned default); pass a
+    # train_unigram_lm frame to bucket by a FROZEN reference model —
+    # CCNet's actual deployment (train on Wikipedia, bucket the crawl)
+    if lm is not None:
+        sur = unigram_surprisal_lm(
+            docs, lm, id_col=id_col, text_col=text_col
+        ).drop("n_oov")
+    else:
+        sur = unigram_surprisal(docs, id_col=id_col, text_col=text_col)
     scored = track_persist(
         sur.join(docs.select(id_col, source_col), id_col).select(
             id_col, source_col, "n_tokens", "mean_surprisal_nats"

@@ -1778,3 +1778,50 @@ def test_unigram_surprisal_lm_frozen_model_and_oov(spark):
     release_persisted()
     assert (out2[10]["surprisal_micronats"]
             == out[10]["surprisal_micronats"])
+
+
+def test_perplexity_buckets_frozen_lm(spark):
+    """Bucketing under a frozen reference LM: planted OOV-gibberish docs
+    land in the tail of every source (their smoothed surprisal is the
+    corpus maximum), and self-trained vs frozen scoring genuinely
+    differ on reference-vocabulary docs."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.cache import release_persisted
+    from bb_ocr_spark.operators.search import (
+        perplexity_buckets,
+        train_unigram_lm,
+    )
+
+    ref_rows = [(1000 + i, "the plain text reads well " * 4, "ref")
+                for i in range(4)]
+    corpus_rows = []
+    for i in range(24):
+        body = ("the plain text reads well " * 3
+                if i % 3 else "the text " + f"odd{i} " * 6)
+        corpus_rows.append((i, body, f"src{i % 2}"))
+    for i in range(4):
+        corpus_rows.append((100 + i, " ".join(f"oov{i}x{j}" for j in range(20)),
+                            f"src{i % 2}"))
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string, source string")
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, source string"
+    )
+    lm = train_unigram_lm(ref).localCheckpoint(eager=True)
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(corpus, sample_mod=1, lm=lm).collect()
+    }
+    release_persisted()
+    for i in range(4):
+        assert out[100 + i]["ppl_bucket"] == "tail", out[100 + i]
+    # frozen vs self-trained scores differ (different models)
+    self_out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(corpus, sample_mod=1).collect()
+    }
+    release_persisted()
+    assert any(
+        out[d]["mean_surprisal_nats"] != self_out[d]["mean_surprisal_nats"]
+        for d in out
+    )
