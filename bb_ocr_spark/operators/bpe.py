@@ -199,15 +199,16 @@ def bpe_encode(
             F.lit(" "),
         ).alias("_s"),
     )
-    for i in range(0, len(ranked), max(1, int(stage_size))):
+    step = max(1, int(stage_size))
+    for i in range(0, len(ranked), step):
         s = F.col("_s")
-        for left, right in ranked[i : i + max(1, int(stage_size))]:
+        for left, right in ranked[i : i + step]:
             pair = f"{left} {right}"
             s = F.replace(
                 s, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} ")
             )
         state = state.select(F.col(id_col), s.alias("_s"))
-        if i + stage_size < len(ranked):
+        if i + step < len(ranked):
             # bound expression depth between stages; eager so each
             # chunk's codegen compiles independently
             state = state.localCheckpoint(eager=True)

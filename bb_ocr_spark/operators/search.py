@@ -420,9 +420,16 @@ def bigram_surprisal(
     """
     from ..cache import track_persist  # noqa: PLC0415
 
-    if lam != 0.75:  # keep the cross-engine literal contract honest
-        f = float(lam)
-        assert f * 4 == int(f * 4), "lam must be a dyadic rational"
+    # cross-engine literal contract: lam must be EXACTLY representable
+    # in binary so both engines multiply by the identical double
+    from fractions import Fraction  # noqa: PLC0415
+
+    fr = Fraction(float(lam)).limit_denominator(1 << 30)
+    if Fraction(float(lam)) != fr or fr.denominator & (fr.denominator - 1):
+        raise ValueError(
+            f"lam={lam!r} is not exactly representable as a small dyadic "
+            "rational; use e.g. 0.75, 0.625, 0.5"
+        )
     base = docs.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
     )
@@ -534,8 +541,11 @@ def unigram_surprisal_lm(
     """Score docs under a FROZEN unigram LM (the output of
     train_unigram_lm over a reference corpus) — the actual CCNet
     deployment shape: the model is trained once on clean text, then
-    every raw document is scored against it; unigram_surprisal's
-    self-trained form is the special case lm = train_unigram_lm(docs).
+    every raw document is scored against it. NOTE this is NOT
+    numerically the self-trained unigram_surprisal even when
+    lm = train_unigram_lm(docs): held-out scoring must be OOV-safe, so
+    probabilities here are Laplace-smoothed ((cnt+1)/(N+V+1)) while the
+    self-trained operator uses the raw MLE cnt/N.
 
     Held-out scoring must survive out-of-vocabulary tokens, so the
     probability is Laplace-smoothed over the model's vocabulary:

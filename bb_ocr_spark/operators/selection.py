@@ -210,8 +210,6 @@ def quality_classifier(
     the map stage); the weight table is B rows — broadcast into the
     scoring join; the only data-sized shuffle is the map-side-combined
     per-doc sum keyed on id. Exactly the DSIR wire discipline."""
-    from ..cache import track_persist  # noqa: PLC0415
-
     base = docs.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
     )

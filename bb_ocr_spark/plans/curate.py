@@ -54,6 +54,8 @@ def run_curation(
     substring_k: int | None = None,
     classifier_weights: DataFrame | None = None,
     classifier_threshold_micro: int = 0,
+    classifier_buckets: int = 4096,
+    classifier_salt: str = "qc",
 ) -> dict[str, DataFrame]:
     """documents(id, text, …) → curated corpus + per-stage tables.
 
@@ -80,14 +82,22 @@ def run_curation(
     # docs and the broadcast weight table is the only extra state)
     qc = None
     if classifier_weights is not None:
+        from ..cache import track_persist  # noqa: PLC0415
         from ..operators.selection import quality_classifier  # noqa: PLC0415
 
-        qc = quality_classifier(
-            kept,
-            classifier_weights,
-            id_col="id",
-            text_col="text",
-            threshold_micro=classifier_threshold_micro,
+        # persisted: the scoring DAG feeds BOTH the keep semi-join and
+        # the stats aggregate — without this the most expensive stage
+        # (tokenize + gram explode + score) runs twice
+        qc = track_persist(
+            quality_classifier(
+                kept,
+                classifier_weights,
+                id_col="id",
+                text_col="text",
+                buckets=classifier_buckets,
+                salt=classifier_salt,
+                threshold_micro=classifier_threshold_micro,
+            )
         )
         kept = kept.join(
             qc.filter(F.col("qc_keep")).select("id"), "id", "left_semi"
@@ -190,9 +200,9 @@ def run_curation(
             ).alias("n_repetition_flagged")))
         .crossJoin(
             qc.groupBy().agg(
-                F.sum((~F.col("qc_keep")).cast("long")).alias(
-                    "n_classifier_dropped"
-                )
+                F.coalesce(
+                    F.sum((~F.col("qc_keep")).cast("long")), F.lit(0)
+                ).alias("n_classifier_dropped")
             )
             if qc is not None
             else documents.sparkSession.range(1).select(

@@ -163,6 +163,8 @@ def run_incremental_curation(
     substr_method: str = "expr",
     classifier_weights: DataFrame | None = None,
     classifier_threshold_micro: int = 0,
+    classifier_buckets: int = 4096,
+    classifier_salt: str = "qc",
 ) -> dict:
     """Curate one delivery against the accumulated state; returns the
     committed manifest plus this run's survivor count.
@@ -211,6 +213,8 @@ def run_incremental_curation(
             classifier_weights,
             id_col="id",
             text_col="text",
+            buckets=classifier_buckets,
+            salt=classifier_salt,
             threshold_micro=classifier_threshold_micro,
         )
         kept = kept.join(

@@ -35,6 +35,9 @@ def run_curate_stream(
     checkpoint: str,
     bucketed_fp_table: str | None = None,
     classifier_weights: DataFrame | None = None,
+    classifier_threshold_micro: int = 0,
+    classifier_buckets: int = 4096,
+    classifier_salt: str = "qc",
 ) -> None:
     """Drain all currently-available deliveries (availableNow trigger),
     curating each micro-batch as one incremental run. Epoch ids are the
@@ -56,6 +59,9 @@ def run_curate_stream(
             f"stream-{epoch_id:06d}",
             bucketed_fp_table=bucketed_fp_table,
             classifier_weights=classifier_weights,
+            classifier_threshold_micro=classifier_threshold_micro,
+            classifier_buckets=classifier_buckets,
+            classifier_salt=classifier_salt,
         )
 
     (

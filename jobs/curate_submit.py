@@ -56,6 +56,12 @@ def main() -> None:
     ap.add_argument("--classifier-threshold-micro", type=int, default=0,
                     help="keep iff score_sum_micro >= threshold * "
                          "n_features (integer mean-pool rule)")
+    ap.add_argument("--classifier-buckets", type=int, default=4096,
+                    help="hash-bucket count the weight table was trained "
+                         "with (MUST match, or weights silently miss)")
+    ap.add_argument("--classifier-salt", default="qc",
+                    help="feature-hash salt the weight table was trained "
+                         "with")
     ap.add_argument("--eval-input", default=None,
                     help="optional eval/benchmark docs to decontaminate against")
     ap.add_argument("--compact-state", action="store_true",
@@ -114,6 +120,8 @@ def main() -> None:
             else None
         ),
         classifier_threshold_micro=args.classifier_threshold_micro,
+        classifier_buckets=args.classifier_buckets,
+        classifier_salt=args.classifier_salt,
     )
     if args.compact_state and args.fp_table:
         from bb_ocr_spark.plans.curate_incremental import (
