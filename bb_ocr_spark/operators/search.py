@@ -270,23 +270,13 @@ def unigram_surprisal(
         F.sum("_lp_micro").alias("surprisal_micronats"),
     )
     # left join: zero-token docs keep a row (0 tokens, 0 surprisal)
-    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
-    return all_docs.join(per_doc, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        F.coalesce("surprisal_micronats", F.lit(0))
-        .cast("long")
-        .alias("surprisal_micronats"),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(
-                F.col("surprisal_micronats")
-                / (F.col("n_tokens") * F.lit(1_000_000.0)),
-                6,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("mean_surprisal_nats"),
+    from ..functions.perdoc import finalize_per_doc_micro  # noqa: PLC0415
+
+    return finalize_per_doc_micro(
+        docs, per_doc, id_col,
+        count_col="n_tokens",
+        sum_col="surprisal_micronats",
+        mean_col="mean_surprisal_nats",
     )
 
 
@@ -497,23 +487,13 @@ def bigram_surprisal(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("_lp_micro").alias("surprisal_micronats"),
     )
-    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
-    return all_docs.join(per_doc, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        F.coalesce("surprisal_micronats", F.lit(0))
-        .cast("long")
-        .alias("surprisal_micronats"),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(
-                F.col("surprisal_micronats")
-                / (F.col("n_tokens") * F.lit(1_000_000.0)),
-                6,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("mean_surprisal_nats"),
+    from ..functions.perdoc import finalize_per_doc_micro  # noqa: PLC0415
+
+    return finalize_per_doc_micro(
+        docs, per_doc, id_col,
+        count_col="n_tokens",
+        sum_col="surprisal_micronats",
+        mean_col="mean_surprisal_nats",
     )
 
 
@@ -594,22 +574,12 @@ def unigram_surprisal_lm(
         F.sum("_oov").cast("long").alias("n_oov"),
         F.sum("_lp_micro").alias("surprisal_micronats"),
     )
-    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
-    return all_docs.join(per_doc, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
-        F.coalesce("surprisal_micronats", F.lit(0))
-        .cast("long")
-        .alias("surprisal_micronats"),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(
-                F.col("surprisal_micronats")
-                / (F.col("n_tokens") * F.lit(1_000_000.0)),
-                6,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("mean_surprisal_nats"),
+    from ..functions.perdoc import finalize_per_doc_micro  # noqa: PLC0415
+
+    return finalize_per_doc_micro(
+        docs, per_doc, id_col,
+        count_col="n_tokens",
+        sum_col="surprisal_micronats",
+        mean_col="mean_surprisal_nats",
+        extra_long_cols=("n_oov",),
     )

@@ -230,38 +230,24 @@ def quality_classifier(
             .alias("_s"),
         )
     )
-    all_docs = docs.select(F.col(id_col).alias("id")).distinct()
-    out = all_docs.join(per_doc, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
-        (F.coalesce("_s", F.lit(0)) + F.lit(int(bias_micro)))
-        .cast("long")
-        .alias("score_sum_micro"),
+    from ..functions.perdoc import finalize_per_doc_micro  # noqa: PLC0415
+
+    out = finalize_per_doc_micro(
+        docs, per_doc, id_col,
+        count_col="n_features",
+        sum_col="score_sum_micro",
+        mean_col="mean_score",
+        # the bias funds even featureless docs' score (the fastText
+        # readout's intercept), hence the explicit sum expression
+        sum_expr=(F.coalesce("_s", F.lit(0)) + F.lit(int(bias_micro))),
     )
-    return out.select(
-        id_col,
-        "n_features",
-        "score_sum_micro",
-        # + 0.0 canonicalizes IEEE -0.0 (round of a tiny negative mean)
-        # to +0.0 in both engines — the stringified gate compare is signed
-        (
-            F.when(
-                F.col("n_features") > 0,
-                F.round(
-                    F.col("score_sum_micro")
-                    / (F.col("n_features") * F.lit(1_000_000.0)),
-                    6,
-                ),
-            ).otherwise(F.lit(0.0))
-            + F.lit(0.0)
-        ).alias("mean_score"),
-        (
-            (F.col("n_features") > 0)
-            & (
-                F.col("score_sum_micro")
-                >= F.lit(int(threshold_micro)) * F.col("n_features")
-            )
-        ).alias("qc_keep"),
+    return out.withColumn(
+        "qc_keep",
+        (F.col("n_features") > 0)
+        & (
+            F.col("score_sum_micro")
+            >= F.lit(int(threshold_micro)) * F.col("n_features")
+        ),
     )
 
 
