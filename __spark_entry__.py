@@ -2895,6 +2895,54 @@ LEFT JOIN per ON per.id = h.id
 """
 
 
+def _q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space decontamination: eval set broadcast, training
+    # corpus streamed through one narrow cosine pass; planted
+    # paraphrase-analog leaks (scaled eval vectors) guarantee hits
+    # deterministically in both engines
+    from bb_ocr_spark.operators.decontaminate import semantic_contaminated
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    eval_set = emb.filter(F.col("vec_id") < 50)
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias(
+            "embedding"
+        ),
+    )
+    train = emb.filter(F.col("vec_id") >= 50).unionByName(planted)
+    return semantic_contaminated(train, eval_set, threshold=0.95)
+
+
+_ORACLE_SEMANTIC_DECONTAM = r"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ev AS (
+  SELECT vec_id AS eid, v AS evv FROM base WHERE vec_id < 50
+), tr AS (
+  SELECT vec_id, v FROM base WHERE vec_id >= 50
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(v, x -> x * 1.001) AS v
+  FROM base WHERE vec_id < 10
+), hits AS (
+  SELECT tr.vec_id, round(list_cosine_similarity(tr.v, ev.evv), 6) AS c
+  FROM tr CROSS JOIN ev
+  WHERE round(list_cosine_similarity(tr.v, ev.evv), 6) >= 0.95
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(c) AS max_eval_cosine
+FROM hits GROUP BY vec_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-gated queries OUTSIDE the driver's 50-slot window
     (CORRECTNESS_r04 verified only the first 50 queries() entries, so
@@ -2917,6 +2965,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
         "surprisal_heldout": _q_surprisal_heldout,
+        "semantic_decontam": _q_semantic_decontam,
     }
 
 
@@ -2934,4 +2983,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_encode": _oracle_bpe_encode(),
         "quality_classifier": _oracle_quality_classifier(),
         "surprisal_heldout": _ORACLE_SURPRISAL_HELDOUT,
+        "semantic_decontam": _ORACLE_SEMANTIC_DECONTAM,
     }

@@ -90,3 +90,49 @@ def contamination_ngram_col(text: Column, n: int = 3) -> Column:
     from .dedup import shingles_col
 
     return shingles_col(text, n)
+
+
+def semantic_contaminated(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination flags — the embedding-space complement of
+    the n-gram pass above (modern eval hygiene: paraphrased or
+    re-formatted benchmark leakage that shares no 8-gram with the eval
+    text still lands next to it in embedding space). A training item is
+    contaminated iff some eval item's round-6 cosine similarity reaches
+    `threshold`.
+
+    Returns one row per flagged training item:
+      (id_col, n_eval_hits:long, max_eval_cosine:double).
+    Anti-join the ids to scrub, exactly like contaminated_docs.
+
+    Scale shape: the asymmetry does the work, as in the n-gram pass —
+    the EVAL side is benchmark-sized (10^3-10^5 rows) and broadcasts;
+    the training corpus streams through one narrow pass computing
+    n_eval cosines per row (a brute_force_topk-shaped broadcast
+    nested-loop, no shuffle of train vectors), then aggregates the few
+    hits on id. At eval sets too large to broadcast, band both sides
+    with _banded_buckets (the embedding_dup_pairs machinery) and verify
+    within buckets — same cap discipline, same observable-suppression
+    rule."""
+    from .similarity import cosine_col  # noqa: PLC0415
+
+    ev = eval_df.select(
+        F.col(id_col).alias("_eid"), F.col(vec_col).alias("_ev")
+    )
+    hits = (
+        train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(ev))
+        .withColumn("_cos", cosine_col(F.col("_v"), F.col("_ev")))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+    )
+    return hits.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_eval_hits"),
+        F.max("_cos").alias("max_eval_cosine"),
+    ).select(
+        F.col("id").alias(id_col), "n_eval_hits", "max_eval_cosine"
+    )

@@ -262,3 +262,38 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
     }
     assert reliable == local
     assert any(files for _, _, files in os.walk(ckdir))
+
+
+def test_semantic_contaminated_flags_paraphrase_analogs(spark):
+    """A scaled copy of an eval embedding (cosine 1.0) is flagged; an
+    orthogonal vector is not; the flags anti-join like the n-gram pass."""
+    from pyspark.sql import functions as F
+
+    from bb_ocr_spark.operators.decontaminate import semantic_contaminated
+
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),      # scaled copy of eval 1 -> cos 1.0
+            (11, [0.0, 0.0, 5.0]),      # orthogonal -> no hit
+            (12, [1.0, 1.0, 0.0]),      # cos 0.707107 to both evals
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r
+           for r in semantic_contaminated(train, ev, threshold=0.9).collect()}
+    assert set(out) == {10}
+    assert out[10]["n_eval_hits"] == 1
+    assert out[10]["max_eval_cosine"] == 1.0
+
+    low = {r["vec_id"]: r
+           for r in semantic_contaminated(train, ev, threshold=0.7).collect()}
+    assert set(low) == {10, 12} and low[12]["n_eval_hits"] == 2
+    clean = train.join(
+        semantic_contaminated(train, ev, threshold=0.9).select("vec_id"),
+        "vec_id", "left_anti",
+    )
+    assert {r["vec_id"] for r in clean.collect()} == {11, 12}
