@@ -163,3 +163,54 @@ def test_curate_submit_substring_state(tmp_path):
     assert list(out2["text"]) == [tail2], "banner must be excised via state"
     out1 = pd.read_parquet(os.path.join(state, "results", "run_id=r1"))
     assert banner in out1["text"].iloc[0]
+
+
+def test_curate_submit_classifier_weights(tmp_path):
+    """--classifier-weights through a real spark-submit: the learned
+    filter's rejects never commit; n_new equals the python-side expected
+    keep count from the same md5 weight table."""
+    import hashlib
+
+    import pandas as pd
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        check=True, capture_output=True,
+    )
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    inp, state = str(tmp_path / "docs"), str(tmp_path / "state")
+    wdir = str(tmp_path / "weights")
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(("qc" + s).encode()).hexdigest()[:15],
+                   16) % 4096
+
+    good = {bucket(f"w0_{j}") for j in range(12)}
+    os.makedirs(wdir)
+    pd.DataFrame({
+        "bucket": pd.array(range(4096), dtype="int32"),
+        "weight_micro": pd.array(
+            [10_000_000 if b in good else -1 for b in range(4096)],
+            dtype="int64",
+        ),
+    }).to_parquet(os.path.join(wdir, "part-0.parquet"))
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [
+            " ".join(f"w{d}_{j} the of and to" for j in range(12))
+            for d in range(8)
+        ],
+    })
+    os.makedirs(inp)
+    docs.to_parquet(os.path.join(inp, "part-0.parquet"))
+
+    s1 = _curate_submit(
+        ["--input", inp, "--state", state, "--run-id", "d1",
+         "--classifier-weights", wdir],
+        cwd=work,
+    )
+    # doc 0 passes by construction; others only via hash collisions into
+    # the good bucket set — n_new must be the model's verdict, not 8
+    assert 1 <= s1["n_new"] < 8
