@@ -28,8 +28,62 @@ from bb_ocr_spark.plans.interleave import interleave_documents  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Scale-adaptive read parallelism. The per-doc/per-vector operators
+    are compute-heavy relative to their input bytes, and a small
+    snappy-compressed parquet (one row group) caps scan parallelism far
+    below the core count — sf1.0's 50k-doc documents.parquet is 5.9 MB =
+    ONE scan split, so every downstream narrow stage (and every stage
+    reachable from it through broadcast joins only) ran single-task
+    (measured: ngram_jaccard 214 s at sf1.0 with 31 cores idle). Parquet
+    cannot split inside a row group, so a floor on scan partitions can't
+    help; fan the rows out once instead (guide §2.5 "input skew:
+    repartition immediately after the read").
+
+    Partition COUNT cannot be the gate: Spark packs a small file into
+    `defaultParallelism` byte-range splits (maxSplitBytes shrinks to
+    totalBytes/parallelism), but a row group goes entirely to the split
+    holding its midpoint — the sf1.0 scan reported 32 partitions of
+    which 31 were EMPTY (event-log: stage with 1 task at 143 s CPU
+    writing all 114M shuffle rows, 31 tasks at 0.1 s). Gate on the
+    relation's size estimate instead: fan out only when the whole input
+    is small enough that the repartition shuffle is trivially cheap
+    (< _FANOUT_BYTES_PER_CORE per core), which is exactly the regime
+    where row-group granularity can starve the cores. Large tables
+    (anything beyond ~32 MB/core) pass through untouched, so at 100 TB
+    this is a no-op. Results are partitioning-invariant (round-robin
+    repartition with Spark's retry-deterministic pre-sort; no query
+    keys on partition identity — the one spark_partition_id user
+    derives it from its own repartitionByRange)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable — leave the plan alone
+        return df
+    if size < target * _FANOUT_BYTES_PER_CORE:
+        return df.repartition(target)
+    return df
+
+
+# per-core input share below which a read-side fanout repartition is
+# worth its (tiny) shuffle; override for clusters with very different
+# task-size economics
+_FANOUT_BYTES_PER_CORE = int(
+    os.environ.get("BB_OCR_FANOUT_BYTES_PER_CORE", str(32 << 20))
+)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _fanout(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fanout(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -559,7 +613,7 @@ _ORACLE_SIMHASH = _oracle_simhash()
 def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bb_ocr_spark.operators.similarity import brute_force_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _emb(spark, sf_dir)
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.withColumn("rk", F.col("rk").cast("bigint"))
 
@@ -733,7 +787,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF semantics — assignment, n_probe pruning, re-rank — in SQL
     from bb_ocr_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _emb(spark, sf_dir)
     cents = _cents_for(_ivf_model_dir())
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_probe=4,
@@ -756,7 +810,7 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir in BOTH engines (same sf-portability rule as ivf_topk)
     from bb_ocr_spark.operators.similarity import pq_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _emb(spark, sf_dir)
     books = _books_for(_ivf_model_dir())
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, k=5)
 
@@ -776,7 +830,7 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines (the ivf_topk/pq_topk portability rule)
     from bb_ocr_spark.operators.similarity import ivfpq_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _emb(spark, sf_dir)
     cents = _cents_for(_ivf_model_dir())
     books = _books_for(_ivf_model_dir())
     return ivfpq_topk(
@@ -807,7 +861,7 @@ def _q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train on the canonical dir in both engines (the ivf_topk rule)
     from bb_ocr_spark.operators.similarity import ivfpq_topk_residual
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _emb(spark, sf_dir)
     return ivfpq_topk_residual(
         emb,
         emb.filter(F.col("vec_id") < 10),
@@ -1407,7 +1461,7 @@ def _q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the exact re-rank in SQL with plane literals
     from bb_ocr_spark.operators.similarity import lsh_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _emb(spark, sf_dir)
     return lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=10,
         n_probe=3,
@@ -1426,7 +1480,7 @@ def _q_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (scaled copies of vec_id < 25, identical double arithmetic)
     from bb_ocr_spark.operators.similarity import embedding_dup_pairs
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     dup = emb.filter(F.col("vec_id") < 25).select(
@@ -2420,7 +2474,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL. Near-dups planted exactly as in embedding_dup_pairs.
     from bb_ocr_spark.operators.similarity import semantic_dedup
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
