@@ -116,7 +116,10 @@ def script_scores_col(text: Column) -> Column:
     return F.array(
         *[
             F.struct(
-                F.length(F.regexp_replace(text, f"[^{rng}]", "")).alias(
+                # regexp_count of the in-class single-char pattern ==
+                # length after removing out-of-class chars, without the
+                # per-doc string rewrite (see quality_cols)
+                F.regexp_count(text, F.lit(f"[{rng}]")).alias(
                     "hits"
                 ),
                 F.lit(-i).alias("neg_idx"),
@@ -155,9 +158,14 @@ def quality_cols(text: Column, toks: Column | None = None) -> list[Column]:
         toks = tokens_col(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
-    nonws = F.length(F.regexp_replace(text, r"\s", ""))
-    alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
-    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    # count-in-class via regexp_count, not length(regexp_replace(
+    # text, [^class], '')): identical value for single-char classes
+    # (each match is one char) but the replace form allocates a rewritten
+    # string per doc — measured 2.68 s vs 0.32 s for the alnum column
+    # alone at sf1.0 (guide §1.2 per-task work)
+    nonws = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+    alnum = F.regexp_count(text, F.lit("[a-zA-Z0-9]"))
+    punct = F.regexp_count(text, F.lit("[.,;:!?]"))
     stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
     mean_tok_len = F.round(
         F.when(n_tok > 0, nonws.cast("double") / n_tok).otherwise(F.lit(0.0)), 4

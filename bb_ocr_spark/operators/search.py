@@ -25,6 +25,27 @@ from ..functions.text import tokens_col
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# corpora whose optimizer size estimate stays under this many bytes get
+# derived small frames (vocab tables, per-doc stats) broadcast into
+# their scoring joins; bigger corpora keep shuffle joins (a derived
+# frame can approach corpus size, so the gate is on the corpus itself)
+_BCAST_CORPUS_BYTES = int(
+    os.environ.get("BB_OCR_BCAST_CORPUS_BYTES", str(1 << 30))
+)
+
+
+def _bcast_if_small(corpus: DataFrame, derived: DataFrame) -> DataFrame:
+    """broadcast-hint `derived` when `corpus`'s optimizer size estimate
+    proves it small enough; identical results either way (join strategy
+    only)."""
+    try:
+        size = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return derived
+    return F.broadcast(derived) if size < _BCAST_CORPUS_BYTES else derived
+
 
 class BM25Index(NamedTuple):
     """The four relations BM25 scoring needs, decoupled from the corpus:
@@ -243,16 +264,22 @@ def unigram_surprisal(
     integers. Scale shape: one token explode + count groupBy (map-side
     combined), one join of tokens against the (vocab-sized) count table,
     one groupBy back per doc — all shuffles on tokens/ids."""
-    from ..cache import track_persist  # noqa: PLC0415
-
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens_col(F.col(text_col))).alias("token"),
     )
-    # feeds both the count pass and the scoring join (no CSE across
-    # self-referencing plans): persist so tokenization runs once
-    toks = track_persist(toks.filter(F.col("token").isNotNull()))
+    # No persist: the token stream feeds the count pass and the scoring
+    # join, but re-tokenizing is cheaper than materializing 2.25M string
+    # rows into the cache and reading them back (A/B at sf1.0: 4.05 s
+    # persisted vs 3.58 s recomputed vs 2.08 s recomputed+broadcast).
+    toks = toks.filter(F.col("token").isNotNull())
     vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # size-adaptive broadcast: the vocab (distinct tokens) can never
+    # outweigh its corpus, so when the corpus itself is small the
+    # scoring join's shuffle of every token occurrence is pure overhead
+    # (AQE keeps the sort-merge plan here — the 2x is measured). Large
+    # corpora keep the shuffle join: a 100 TB vocab is not broadcastable.
+    vocab = _bcast_if_small(docs, vocab)
     total = vocab.agg(F.sum("cnt").alias("n_corpus"))
     scored = (
         toks.join(vocab, "token")
@@ -442,6 +469,11 @@ def bigram_surprisal(
         .groupBy("prev", "cur")
         .agg(F.count("*").alias("bcnt"))
     )
+    # small-corpus regime: broadcast the count tables so the three
+    # scoring joins stop shuffling every (prev, cur) event (see
+    # _bcast_if_small; large corpora keep the shuffle joins)
+    cu = _bcast_if_small(docs, cu)
+    cb = _bcast_if_small(docs, cb)
     one_m_lam = 1.0 - lam
     scored = (
         ev.join(cu.withColumnRenamed("cnt", "cu_cur"), ev.cur == cu.token)
@@ -541,8 +573,6 @@ def unigram_surprisal_lm(
     scoring join when small, shuffle-joined on token when not; doc
     tokens explode narrowly and aggregate back on id. The raw corpus
     is never re-counted (that is the point of the frozen model)."""
-    from ..cache import track_persist  # noqa: PLC0415
-
     stats = lm.agg(
         F.sum("cnt").cast("long").alias("n_lm"),
         F.count("*").cast("long").alias("v_lm"),
@@ -551,9 +581,11 @@ def unigram_surprisal_lm(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens_col(F.col(text_col))).alias("token"),
     )
-    toks = track_persist(toks.filter(F.col("token").isNotNull()))
+    # no persist: the token stream has exactly one consumer (the scoring
+    # join) — caching it was write-only overhead
+    toks = toks.filter(F.col("token").isNotNull())
     scored = (
-        toks.join(lm, "token", "left")
+        toks.join(_bcast_if_small(lm, lm), "token", "left")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_lp_micro",
