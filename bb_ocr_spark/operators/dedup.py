@@ -149,10 +149,16 @@ def ngram_jaccard_pairs(
         # (<= |occurrences|/max_df entries), and AQE broadcasts it
         # automatically when under threshold — a forced hint would OOM the
         # driver on a pathological corpus with billions of hot shingles
-        inv = inv.join(hot, "tok", "left_anti")
+        #
+        # persist the CAPPED index too: it feeds both self-join sides and
+        # the set-size aggregation, and without its own cache each
+        # consumer re-runs the df census + anti-join from the raw cache
+        # (the round-5 plan executed the census 4x per run)
+        inv = track_persist(inv.join(hot, "tok", "left_anti"))
     # set sizes over the (possibly capped) sets so the ratio stays a true
-    # Jaccard over exactly the sets being intersected
-    sized = inv.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # Jaccard over exactly the sets being intersected; persisted because
+    # it is broadcast-built twice (id_a side, id_b side)
+    sized = track_persist(inv.groupBy("id").agg(F.count("*").alias("n_sh")))
     # candidate counting is the hot path at scale (one row per shared
     # shingle per pair: 127M rows / 114M distinct pairs at the 50k-doc
     # bench corpus — nearly every pair shares exactly one shingle, so
@@ -206,12 +212,18 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_shared"))
         )
-    min_sz = sized.agg(F.min("n_sh").alias("_min_n"))
-    pairs = pairs.crossJoin(F.broadcast(min_sz)).filter(
-        (F.col("n_shared") + 1).cast("double")
-        >= F.lit(threshold)
-        * (F.lit(2) * F.col("_min_n") - F.col("n_shared")).cast("double")
-    ).drop("_min_n")
+    # the corpus-min set size is fetched as a driver-side scalar (one
+    # tiny job over the persisted index — it doubles as the cache
+    # warm-up) so the bound is a literal Filter, not a 1-row-frame join
+    # the planner would turn into a nested-loop join
+    _min_row = sized.agg(F.min("n_sh")).first()
+    min_n = _min_row[0] if _min_row is not None else None
+    if min_n is not None:
+        pairs = pairs.filter(
+            (F.col("n_shared") + 1).cast("double")
+            >= F.lit(threshold)
+            * (F.lit(2 * int(min_n)) - F.col("n_shared")).cast("double")
+        )
     if pack:
         _idt = df.schema[id_col].dataType.simpleString()
         pairs = pairs.select(
@@ -229,9 +241,25 @@ def ngram_jaccard_pairs(
     jacc = F.col("n_shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_shared")
     )
+    out = pairs.join(
+        sized.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+        "id_a",
+    )
+    if min_n is not None:
+        # per-side bound once n_a is known: jaccard >= t needs
+        # s >= t*(n_a + n_b - s) and n_b >= corpus-min, so pairs failing
+        # s+1 >= t*(n_a + min_n - s) (the +1 again absorbs double
+        # rounding) can be dropped BEFORE the second hash join — with
+        # ~43-shingle docs this prunes the share-one-shingle majority
+        out = out.filter(
+            (F.col("n_shared") + 1).cast("double")
+            >= F.lit(threshold)
+            * (
+                F.col("n_a") + F.lit(int(min_n)) - F.col("n_shared")
+            ).cast("double")
+        )
     out = (
-        pairs.join(sized.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sized.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        out.join(sized.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .filter(jacc >= threshold)
         .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
     )
