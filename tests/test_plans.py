@@ -82,7 +82,7 @@ def test_new_query_plan_quality(spark):
     # round-robin REPARTITION exchange so a tiny single-row-group input
     # spreads over the cores; the pipeline itself must stay narrow —
     # no hash/range exchange introduced by the tokenizer work
-    fanouts = tok.count("Exchange RoundRobinPartitioning")
+    fanouts = tok.count("REPARTITION_BY_NUM")
     assert tok.count("Exchange") == fanouts <= 1, (
         "tokenize_spans must stay a narrow map-only plan apart from the "
         f"read-side fanout repartition:\n{tok[:800]}"
