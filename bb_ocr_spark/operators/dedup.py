@@ -22,6 +22,8 @@ payloads never fan out: candidate generation explodes only (id, key) pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -499,15 +501,34 @@ def minhash_lsh_verified_pairs(
     cand = minhash_lsh_pairs(
         df, num_hashes, bands, n, id_col, text_col, engine, max_bucket
     ).select("id_a", "id_b")
+    # the candidate set is tiny in bytes but each row pays an
+    # array_intersect over two full shingle sets — AQE coalesced the
+    # post-dedup exchange to 4 partitions on byte size and serialized
+    # the verification (event-log: 4 tasks x 1 s, 28 cores idle). An
+    # explicit numbered repartition is exempt from AQE coalescing and
+    # keeps the verify stage wide.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     toks = tokens_col(F.col(text_col))
     hs = df.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
         toks.alias("_tk"),
     ).select("id", hashed_shingles_col(F.col("_th"), F.col("_tk"), n).alias("hs"))
+    from .search import _bcast_if_small  # noqa: PLC0415
+
     j = cand.join(
-        hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
-    ).join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        _bcast_if_small(
+            df, hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+        ),
+        "id_a",
+    ).join(
+        _bcast_if_small(
+            df, hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+        ),
+        "id_b",
+    )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     jacc = inter.cast("double") / union
@@ -789,11 +810,34 @@ def dedup_clusters(
         .distinct()
         .repartition("v")
     )
+    # materialize the edge cache and take its size: on a SMALL graph the
+    # loop's per-round wall is ~all AQE overhead (each round = ~6
+    # stage-jobs, each re-optimized and separately scheduled) — A/B at
+    # sf1.0, identical hash: 18.5 s with AQE vs 8.7-12.4 s without. A
+    # big graph keeps AQE for its skew handling (a giant component's
+    # root label is a hot join key).
+    n_edges = edges.count()
+    aqe_off = n_edges < int(
+        os.environ.get("BB_OCR_CLUSTER_AQE_OFF_EDGES", str(50_000_000))
+    )
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     labels = ckpt(
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    if aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        labels = _cluster_loop(edges, labels, max_iter, ckpt)
+    finally:
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    return out
+
+
+def _cluster_loop(edges, labels, max_iter, ckpt):
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -849,8 +893,7 @@ def dedup_clusters(
             f"dedup_clusters did not converge in {max_iter} rounds "
             "(component diameter > ~2^max_iter?) — raise max_iter"
         )
-    out = labels.select("id", F.col("label").alias("cluster_id"))
-    return out
+    return labels
 
 
 # --------------------------------------------------------------------------
