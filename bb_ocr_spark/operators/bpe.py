@@ -65,9 +65,10 @@ def learn_bpe_merges(
 
     out: DataFrame | None = None
     for rank in range(1, num_merges + 1):
-        # loop-local persist, released at the end of the round (both
-        # consumers — the count job and nothing else — are done by then)
-        toks = state.select(F.split("s", " ").alias("t")).persist()
+        # no persist: the pair-count job is this frame's ONLY consumer,
+        # so the per-round cache was written and never re-read (round-5
+        # advisor finding) — pure overhead on every merge round
+        toks = state.select(F.split("s", " ").alias("t"))
         pairs = toks.select(
             F.explode_outer(
                 F.when(
@@ -104,7 +105,6 @@ def learn_bpe_merges(
             )
             .localCheckpoint(eager=True)
         )
-        toks.unpersist()
         row = top.select(
             "merge_rank",
             F.split("pair", " ").getItem(0).alias("left_sym"),
