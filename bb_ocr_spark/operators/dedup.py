@@ -472,6 +472,15 @@ def minhash_lsh_pairs(
             F.col("b.id").alias("id_b"),
             est.alias("est_jaccard"),
         )
+        # explicit numbered repartition on the dedup key: the pair rows
+        # are tiny in bytes, so AQE coalesces the dedup exchange down to
+        # 1-4 tasks (worse under zstd, which shrinks the bytes further)
+        # and serializes both the dedup and everything downstream; a
+        # REPARTITION_BY_NUM exchange is exempt and already satisfies
+        # the aggregation's distribution, so no exchange is added
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -501,15 +510,10 @@ def minhash_lsh_verified_pairs(
     cand = minhash_lsh_pairs(
         df, num_hashes, bands, n, id_col, text_col, engine, max_bucket
     ).select("id_a", "id_b")
-    # the candidate set is tiny in bytes but each row pays an
-    # array_intersect over two full shingle sets — AQE coalesced the
-    # post-dedup exchange to 4 partitions on byte size and serialized
-    # the verification (event-log: 4 tasks x 1 s, 28 cores idle). An
-    # explicit numbered repartition is exempt from AQE coalescing and
-    # keeps the verify stage wide.
-    cand = cand.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-    )
+    # candidate generation pins its own dedup exchange wide (see
+    # minhash_lsh_pairs), so the verification joins inherit a 32-wide
+    # candidate side — each candidate row pays an array_intersect over
+    # two full shingle sets, so parallelism here is compute-critical
     toks = tokens_col(F.col(text_col))
     hs = df.select(
         F.col(id_col).alias("id"),
