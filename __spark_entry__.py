@@ -51,10 +51,11 @@ def _fanout(df: DataFrame) -> DataFrame:
     (< _FANOUT_BYTES_PER_CORE per core), which is exactly the regime
     where row-group granularity can starve the cores. Large tables
     (anything beyond ~32 MB/core) pass through untouched, so at 100 TB
-    this is a no-op. Results are partitioning-invariant (round-robin
-    repartition with Spark's retry-deterministic pre-sort; no query
-    keys on partition identity — the one spark_partition_id user
-    derives it from its own repartitionByRange)."""
+    this is a no-op. Results are partitioning-invariant (deterministic
+    hash repartition on the leading id column — no retry-determinism
+    pre-sort needed, unlike round-robin; no query keys on partition
+    identity — the one spark_partition_id user derives it from its own
+    repartitionByRange)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:

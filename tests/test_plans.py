@@ -79,8 +79,8 @@ def test_new_query_plan_quality(spark):
 
     tok = plan_of(qs["tokenize_spans"](spark, sf))
     # round 6: the read-side fanout (_fanout) adds exactly one
-    # round-robin REPARTITION exchange so a tiny single-row-group input
-    # spreads over the cores; the pipeline itself must stay narrow —
+    # id-hash REPARTITION_BY_NUM exchange so a tiny single-row-group
+    # input spreads over the cores; the pipeline itself must stay narrow —
     # no hash/range exchange introduced by the tokenizer work
     fanouts = tok.count("REPARTITION_BY_NUM")
     assert tok.count("Exchange") == fanouts <= 1, (
