@@ -6,10 +6,26 @@ drops from multi-GB/s to 0.02-0.14 GB/s for minutes-to-hours while
 single-thread CPU (sha256) stays full speed. Spark wall times measured
 inside such a window are 2-6x inflated and NOT code-comparable.
 
-Prints one JSON line: {"copy_gbps": ..., "sha256_mbps": ..., "ok": bool}
-ok = copy_gbps >= BW_OK_GBPS (default 1.0). Run before recording any
-bench/scaling number; only record when ok (or disclose the probe value
-alongside the measurement).
+Round-6 calibration: the original single-copy-of-np.zeros shape times
+TWO different things at once — np.zeros is lazily allocated, so the
+copy pays a page-fault + page-zeroing cost for every source AND
+destination page on top of the streaming copy. On 2026-08-22 this host
+read 0.27 GB/s on that shape while a warm pre-touched copy ran at
+8.8 GB/s and the full pytest suite matched its healthy-window wall
+time — i.e. the fault path had degraded but streaming bandwidth (and
+real Spark work) was fine. The probe therefore now reports both:
+
+  fault_gbps — the original shape (allocation + fault + copy)
+  warm_gbps  — min-of-5 pre-touched copyto (pure streaming bandwidth)
+
+`ok` requires warm_gbps >= BW_OK_GBPS (default 1.0): streaming
+bandwidth is the quantity Spark shuffle/scan wall times actually track.
+`fault_ok` (fault_gbps >= BW_FAULT_OK_GBPS, default 1.0) reproduces
+the round-5 criterion and is reported alongside so records remain
+comparable across rounds; quote both when recording a measurement.
+`copy_gbps` is kept as an alias of fault_gbps for older scripts.
+
+Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -23,23 +39,38 @@ import time
 def main() -> None:
     import numpy as np
 
-    a = np.zeros(50_000_000, dtype=np.int64)  # 0.4 GB
+    a = np.zeros(50_000_000, dtype=np.int64)  # 0.4 GB, lazily allocated
     t0 = time.monotonic()
     a.copy()
-    copy_gbps = 0.4 / (time.monotonic() - t0)
+    fault_gbps = 0.4 / (time.monotonic() - t0)
+
+    # warm path: both buffers pre-touched, min-of-5 streaming copies
+    a[::512] = 1  # touch every source page
+    dst = a.copy()  # destination pages now faulted in
+    best = None
+    for _ in range(5):
+        t0 = time.monotonic()
+        np.copyto(dst, a)
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    warm_gbps = 0.4 / best
 
     buf = bytes(50_000_000)
     t0 = time.monotonic()
     hashlib.sha256(buf).hexdigest()
     sha_mbps = 50.0 / (time.monotonic() - t0)
 
-    ok = copy_gbps >= float(os.environ.get("BW_OK_GBPS", "1.0"))
+    ok = warm_gbps >= float(os.environ.get("BW_OK_GBPS", "1.0"))
+    fault_ok = fault_gbps >= float(os.environ.get("BW_FAULT_OK_GBPS", "1.0"))
     print(
         json.dumps(
             {
-                "copy_gbps": round(copy_gbps, 3),
+                "fault_gbps": round(fault_gbps, 3),
+                "warm_gbps": round(warm_gbps, 3),
+                "copy_gbps": round(fault_gbps, 3),
                 "sha256_mbps": round(sha_mbps, 1),
                 "ok": ok,
+                "fault_ok": fault_ok,
             }
         )
     )
