@@ -32,6 +32,12 @@ from ..functions.text import fingerprint_md5_col, tokens_col
 
 MERSENNE31_D = (1 << 31) - 1
 
+# corpus-size estimate above which minhash_lsh_pairs pins its candidate
+# dedup exchange to full width (see comment at the use site); between
+# the measured regimes: 0.6 MB (pin loses 2.5 s) and 5.9 MB (pin wins
+# ~2 s) on this host
+_MINHASH_PIN_BYTES = int(os.environ.get("BB_OCR_MINHASH_PIN_BYTES", str(2 << 20)))
+
 
 def normalized_text_col(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
@@ -166,8 +172,8 @@ def ngram_jaccard_pairs(
     # bench corpus — nearly every pair shares exactly one shingle, so
     # both aggregation hash maps hold ~every pair). Two exact shapings,
     # each measured on that corpus:
-    #   1. PACKED PAIR KEY — when ids provably fit in 31 bits (one
-    #      column-pruned min/max scan of the input), group on the single
+    #   1. PACKED PAIR KEY — when ids provably fit in 31 bits (id range
+    #      fetched in the combined scalar job below), group on the single
     #      long (id_a << 32) | id_b instead of the two-long pair: halves
     #      the aggregation key in both hash maps and the partial-agg
     #      shuffle row. Falls back to the two-key groupBy for wider ids
@@ -184,15 +190,31 @@ def ngram_jaccard_pairs(
     #      BEFORE the two n_a/n_b hash joins ever probe them.
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    # ONE combined driver-scalar job over the persisted set-size frame
+    # (it doubles as the inv/sized cache warm-up): the corpus-min set
+    # size for the count bounds AND the id range for the packed-key
+    # decision. Only ids with >= 1 shingle can appear in a pair, and
+    # those are exactly sized's ids, so bounding the id range over sized
+    # is equivalent to bounding it over the input — and saves the
+    # separate full-input min/max scan (a scan + fanout + job that cost
+    # ~0.3-0.5 s of pure fixed overhead per call at bench scales).
     pack = False
+    min_n = None
     if isinstance(
         df.schema[id_col].dataType,
         (ByteType, ShortType, IntegerType, LongType),
     ):
-        lo, hi = df.select(
-            F.min(F.col(id_col)).cast("long"), F.max(F.col(id_col)).cast("long")
+        _row = sized.agg(
+            F.min("n_sh"),
+            F.min(F.col("id").cast("long")),
+            F.max(F.col("id").cast("long")),
         ).first()
-        pack = lo is not None and lo >= 0 and hi is not None and hi < (1 << 31)
+        if _row is not None:
+            min_n, _lo, _hi = _row[0], _row[1], _row[2]
+            pack = _lo is not None and _lo >= 0 and _hi is not None and _hi < (1 << 31)
+    else:
+        _row = sized.agg(F.min("n_sh")).first()
+        min_n = _row[0] if _row is not None else None
     if pack:
         pairs = (
             inv.alias("a")
@@ -214,12 +236,9 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .agg(F.count("*").alias("n_shared"))
         )
-    # the corpus-min set size is fetched as a driver-side scalar (one
-    # tiny job over the persisted index — it doubles as the cache
-    # warm-up) so the bound is a literal Filter, not a 1-row-frame join
-    # the planner would turn into a nested-loop join
-    _min_row = sized.agg(F.min("n_sh")).first()
-    min_n = _min_row[0] if _min_row is not None else None
+    # the corpus-min set size was fetched above as a driver-side scalar
+    # so the bound is a literal Filter, not a 1-row-frame join the
+    # planner would turn into a nested-loop join
     if min_n is not None:
         pairs = pairs.filter(
             (F.col("n_shared") + 1).cast("double")
@@ -463,7 +482,7 @@ def minhash_lsh_pairs(
         / F.lit(num_hashes),
         6,
     )
-    return (
+    cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
@@ -472,17 +491,30 @@ def minhash_lsh_pairs(
             F.col("b.id").alias("id_b"),
             est.alias("est_jaccard"),
         )
-        # explicit numbered repartition on the dedup key: the pair rows
-        # are tiny in bytes, so AQE coalesces the dedup exchange down to
-        # 1-4 tasks (worse under zstd, which shrinks the bytes further)
-        # and serializes both the dedup and everything downstream; a
-        # REPARTITION_BY_NUM exchange is exempt and already satisfies
-        # the aggregation's distribution, so no exchange is added
-        .repartition(
+    )
+    # explicit numbered repartition on the dedup key, SIZE-GATED: on a
+    # large corpus the pair rows are tiny in bytes, so AQE coalesces the
+    # dedup exchange down to 1-4 tasks (worse under zstd, which shrinks
+    # the bytes further) and serializes both the dedup and everything
+    # downstream — pinning it wide won 7.0→5.1 s at the 50k-doc bench
+    # scale; a REPARTITION_BY_NUM exchange is exempt from coalescing and
+    # already satisfies the aggregation's distribution, so no exchange
+    # is added. On a SMALL corpus the pin is pure overhead (a 32-wide
+    # shuffle + 32-task stages over a candidate set AQE would rightly
+    # run in a few tasks: +2.5 s measured at 1/10th bench scale), so pin
+    # only when the corpus size estimate says the candidate volume can
+    # starve cores. Results are partitioning-invariant either way.
+    try:
+        _csize = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        _csize = None
+    if _csize is None or _csize >= _MINHASH_PIN_BYTES:
+        cand = cand.repartition(
             df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return cand.dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_verified_pairs(
