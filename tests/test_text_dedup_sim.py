@@ -1825,3 +1825,37 @@ def test_perplexity_buckets_frozen_lm(spark):
         out[d]["mean_surprisal_nats"] != self_out[d]["mean_surprisal_nats"]
         for d in out
     )
+
+
+def test_minhash_pin_gate_scale_adaptive(spark, monkeypatch, tmp_path):
+    # round 6: the candidate-dedup width pin (REPARTITION_BY_NUM before
+    # dropDuplicates) must fire only when the corpus size estimate says
+    # AQE over-coalescing can starve cores — on a small corpus it is
+    # pure overhead (A/B-measured +2.5 s at sf0.1). Results must be
+    # identical either way (partitioning-invariant dedup). The fixture
+    # is parquet-backed: a LocalRelation reports Long.MaxValue as its
+    # size estimate, which (correctly, conservatively) always pins.
+    from bb_ocr_spark.operators import dedup as D
+
+    rows = [
+        (f"d{i}", "alpha beta gamma delta epsilon " + " ".join(f"w{i}_{j}" for j in range(4)))
+        for i in range(40)
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(path)
+    df = spark.read.parquet(path)
+
+    def plan_and_rows(pin_bytes):
+        monkeypatch.setattr(D, "_MINHASH_PIN_BYTES", pin_bytes)
+        out = D.minhash_lsh_pairs(df, num_hashes=16, bands=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        got = sorted(
+            (r["id_a"], r["id_b"], r["est_jaccard"]) for r in out.collect()
+        )
+        return plan, got
+
+    pinned_plan, pinned_rows = plan_and_rows(0)  # always pin
+    free_plan, free_rows = plan_and_rows(1 << 60)  # never pin
+    assert "REPARTITION_BY_NUM" in pinned_plan
+    assert "REPARTITION_BY_NUM" not in free_plan
+    assert pinned_rows == free_rows
